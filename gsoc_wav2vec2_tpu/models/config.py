@@ -1,0 +1,119 @@
+"""Model configuration dataclasses.
+
+Field names, defaults and the JSON schema intentionally match the reference
+(`/root/reference/src/wav2vec2/config.py:7-73`) so that `config.json` files
+written by the reference load unchanged (including the `kernal_sizes` typo,
+which is part of the on-disk contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field, replace
+from typing import List
+
+
+@dataclass
+class Wav2Vec2Config:
+    """Hyper-parameters for the wav2vec2 "base" family.
+
+    JSON round-trip contract: reference `config.py:51-60`.
+    Validation contract: reference `config.py:40-49`.
+    """
+
+    vocab_size: int = 32
+    dropout: float = 0.1
+    hidden_size: int = 768
+    num_heads: int = 12
+    num_layers: int = 12
+    intermediate_size: int = 3072
+    is_gelu_approx: bool = False
+    layer_norm_eps: float = 1e-5
+    survival_prob: float = 1.0
+    pad_id: int = 0
+
+    # positional embedding
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+
+    # feature extractor
+    filter_sizes: List[int] = field(
+        default_factory=lambda: [512, 512, 512, 512, 512, 512, 512]
+    )
+    kernal_sizes: List[int] = field(default_factory=lambda: [10, 3, 3, 3, 3, 2, 2])
+    strides: List[int] = field(default_factory=lambda: [5, 2, 2, 2, 2, 2, 2])
+    conv_bias: bool = False
+
+    # spec augmentation
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+
+    attention_norm_type: str = "postnorm"
+    feature_extractor_norm_type: str = "group"
+    is_robust: bool = False
+
+    def __post_init__(self):
+        if not (len(self.filter_sizes) == len(self.kernal_sizes) == len(self.strides)):
+            raise ValueError(
+                "Length of filter_sizes, kernal_sizes, strides must match."
+            )
+        if self.hidden_size % self.num_heads != 0:
+            raise ValueError("Hidden size must be perfect multiple of num_heads.")
+        if self.feature_extractor_norm_type not in ("group", "layer"):
+            raise ValueError("Only `group` / `layer` are supported")
+        if self.attention_norm_type not in ("prenorm", "postnorm"):
+            raise ValueError("Only `prenorm` / `postnorm` are supported")
+
+    # -- derived helpers -------------------------------------------------
+
+    @property
+    def head_size(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    def conv_output_length(self, input_length):
+        """Number of encoder frames produced from `input_length` waveform samples.
+
+        Same arithmetic as the reference (`modeling.py:203-204`,
+        `losses.py:47-56`): per conv layer `1 + (len - kernel) // stride`.
+        Works on Python ints and on traced jnp arrays alike.
+        """
+        length = input_length
+        for kernel, stride in zip(self.kernal_sizes, self.strides):
+            length = 1 + (length - kernel) // stride
+        return length
+
+    # -- persistence ------------------------------------------------------
+
+    def save_pretrained(self, save_dir: str) -> None:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(asdict(self), f)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Wav2Vec2Config":
+        with open(path, "r") as f:
+            config_dict = json.load(f)
+        return cls(**config_dict)
+
+    def replace(self, **kwargs) -> "Wav2Vec2Config":
+        return replace(self, **kwargs)
+
+
+@dataclass
+class RobustWav2Vec2Config(Wav2Vec2Config):
+    """wav2vec2 "robust"/"large" family (also covers XLSR-53).
+
+    Reference `config.py:64-73`.
+    """
+
+    attention_norm_type: str = "prenorm"
+    feature_extractor_norm_type: str = "layer"
+    is_robust: bool = True
+    conv_bias: bool = True
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_heads: int = 16
+    num_layers: int = 24

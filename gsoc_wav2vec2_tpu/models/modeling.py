@@ -1,0 +1,618 @@
+"""TPU-native JAX implementation of Wav2Vec2.
+
+Functional core + thin object wrappers.  Parameters live in a plain nested
+pytree whose key paths mirror the reference's TF variable naming contract
+(`/root/reference/src/wav2vec2/modeling.py:105-255`, `encoder.py:196-295`,
+`feature_extractor.py:6-106`; name templates catalogued in SURVEY.md §3.4),
+which keeps the torch→JAX checkpoint converter a pure rename+transpose.
+
+TPU-first design choices (vs. the reference's Keras graph):
+  * the transformer stack is a single `lax.scan` over stacked per-layer
+    parameters — one trace regardless of depth, optional rematerialisation;
+  * all randomness (dropout, SpecAugment, stochastic depth) comes from
+    explicit `jax.random` keys and runs on-device under `jit` (the reference
+    used host `np.random` for SpecAugment, `spec_augment.py:13-14`);
+  * compute dtype is a parameter (bfloat16 on the MXU for throughput,
+    float32 for bit-parity testing); normalisation statistics always
+    accumulate in float32;
+  * no dummy-forward weight building (`modeling.py:86-102` in the
+    reference) — initialisation is shape-polymorphic from the config alone.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import mask_to_bias, mha_xla
+from ..ops.basic import dense, dropout, gelu, group_norm, layer_norm, stochastic_depth
+from ..ops.conv import conv1d, init_weight_g, pos_conv_embed
+from ..ops.specaugment import apply_spec_augmentation
+from .config import RobustWav2Vec2Config, Wav2Vec2Config
+
+logger = logging.getLogger(__name__)
+
+_glorot = jax.nn.initializers.glorot_uniform(in_axis=-2, out_axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation
+# ---------------------------------------------------------------------------
+
+
+def _init_dense(rng, in_dim: int, out_dim: int) -> dict:
+    return {
+        "kernel": _glorot(rng, (in_dim, out_dim), jnp.float32),
+        "bias": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def _init_layer_norm(dim: int) -> dict:
+    return {"gamma": jnp.ones((dim,), jnp.float32), "beta": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_feature_extractor_params(rng, config: Wav2Vec2Config):
+    """Conv front-end params (reference `feature_extractor.py:6-59`).
+
+    Base family: GroupNorm on layer 0 only; robust family: LayerNorm on
+    every layer.
+    """
+    layers = []
+    in_dim = 1
+    rngs = jax.random.split(rng, len(config.filter_sizes))
+    for i, (filters, kernel) in enumerate(zip(config.filter_sizes, config.kernal_sizes)):
+        p = {"conv": {"kernel": _glorot(rngs[i], (kernel, in_dim, filters), jnp.float32)}}
+        if config.conv_bias:
+            p["conv"]["bias"] = jnp.zeros((filters,), jnp.float32)
+        if (config.feature_extractor_norm_type == "group" and i == 0) or (
+            config.feature_extractor_norm_type == "layer"
+        ):
+            p["layer_norm"] = _init_layer_norm(filters)
+        layers.append(p)
+        in_dim = filters
+    return tuple(layers)
+
+
+def init_transformer_layer_params(rng, config: Wav2Vec2Config) -> dict:
+    """One encoder layer (reference `encoder.py:68-134`)."""
+    h, i_dim = config.hidden_size, config.intermediate_size
+    keys = jax.random.split(rng, 6)
+    return {
+        "attention": {
+            "q_proj": _init_dense(keys[0], h, h),
+            "k_proj": _init_dense(keys[1], h, h),
+            "v_proj": _init_dense(keys[2], h, h),
+            "out_proj": _init_dense(keys[3], h, h),
+        },
+        "layer_norm": _init_layer_norm(h),
+        "feed_forward": {
+            "intermediate_dense": _init_dense(keys[4], h, i_dim),
+            "output_dense": _init_dense(keys[5], i_dim, h),
+        },
+        "final_layer_norm": _init_layer_norm(h),
+    }
+
+
+def init_wav2vec2_params(rng, config: Wav2Vec2Config) -> dict:
+    """Full `Wav2Vec2Model` parameter tree (reference `modeling.py:105-167`)."""
+    k_fe, k_fp, k_pos, k_layers, k_mask = jax.random.split(rng, 5)
+    h = config.hidden_size
+    conv_in = config.filter_sizes[-1]
+
+    pos_k = config.num_conv_pos_embeddings
+    pos_groups = config.num_conv_pos_embedding_groups
+    weight_v = _glorot(k_pos, (pos_k, h // pos_groups, h), jnp.float32)
+
+    layer_keys = jax.random.split(k_layers, config.num_layers)
+    stacked_layers = jax.vmap(lambda r: init_transformer_layer_params(r, config))(
+        layer_keys
+    )
+
+    return {
+        # keras "uniform" initializer == RandomUniform(-0.05, 0.05)
+        # (reference `modeling.py:161-167`)
+        "masked_spec_embed": jax.random.uniform(
+            k_mask, (h,), jnp.float32, minval=-0.05, maxval=0.05
+        ),
+        "feature_extractor": {
+            "conv_layers": init_feature_extractor_params(k_fe, config)
+        },
+        "feature_projection": {
+            "layer_norm": _init_layer_norm(conv_in),
+            "projection": _init_dense(k_fp, conv_in, h),
+        },
+        "encoder": {
+            "pos_conv_embed": {
+                "conv": {
+                    "weight_v": weight_v,
+                    "weight_g": init_weight_g(weight_v),
+                    "bias": jnp.zeros((h,), jnp.float32),
+                }
+            },
+            "layer_norm": _init_layer_norm(h),
+            "layers": stacked_layers,
+        },
+    }
+
+
+def init_wav2vec2_for_ctc_params(rng, config: Wav2Vec2Config) -> dict:
+    """`Wav2Vec2ForCTC` = base model + LM head (reference `modeling.py:217-255`)."""
+    k_model, k_head = jax.random.split(rng)
+    return {
+        "wav2vec2": init_wav2vec2_params(k_model, config),
+        "lm_head": _init_dense(k_head, config.hidden_size, config.vocab_size),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward passes (pure functions)
+# ---------------------------------------------------------------------------
+
+
+def _rng_stream(rng: Optional[jax.Array]):
+    """Sequentially derive independent keys from one root key."""
+    state = {"key": rng}
+
+    def next_key():
+        if state["key"] is None:
+            return None
+        state["key"], sub = jax.random.split(state["key"])
+        return sub
+
+    return next_key
+
+
+def feature_encoder_forward(
+    params, config: Wav2Vec2Config, waveform: jax.Array, compute_dtype=jnp.float32
+) -> jax.Array:
+    """7× strided conv blocks over the raw waveform.
+
+    (B, L_samples) -> (B, L_frames, 512).  Reference
+    `modeling.py:188-190`, `feature_extractor.py:54-59`.
+    """
+    x = waveform[:, :, None].astype(compute_dtype)
+    for i, p in enumerate(params["conv_layers"]):
+        x = conv1d(
+            x, p["conv"]["kernel"], p["conv"].get("bias"), stride=config.strides[i]
+        )
+        if "layer_norm" in p:
+            if config.feature_extractor_norm_type == "group":
+                x = group_norm(x, p["layer_norm"], groups=config.filter_sizes[i], eps=1e-5)
+            else:
+                x = layer_norm(x, p["layer_norm"], eps=1e-5)
+        x = gelu(x, approximate=config.is_gelu_approx)
+    return x
+
+
+def transformer_layer_forward(
+    batch: jax.Array,
+    p: dict,
+    config: Wav2Vec2Config,
+    mask_bias: Optional[jax.Array],
+    *,
+    training: bool,
+    rngs: Optional[jax.Array],
+) -> jax.Array:
+    """One encoder layer, pre-/post-norm selectable (reference `encoder.py:111-134`).
+
+    `rngs` is a stacked (4,) key array: attention-prob dropout, post-attention
+    dropout, FFN dropout, stochastic depth.
+    """
+    deterministic = not training
+    prenorm = config.attention_norm_type == "prenorm"
+
+    residual = batch
+    if prenorm:
+        batch = layer_norm(batch, p["layer_norm"], config.layer_norm_eps)
+    batch = mha_xla(
+        batch,
+        p["attention"],
+        config.num_heads,
+        mask_bias,
+        dropout_rate=config.dropout,
+        rng=rngs[0] if training else None,
+        deterministic=deterministic,
+    )
+    batch = dropout(batch, config.dropout, rngs[1] if training else None, deterministic)
+    batch = batch + residual
+    if not prenorm:
+        batch = layer_norm(batch, p["layer_norm"], config.layer_norm_eps)
+
+    residual = batch
+    if prenorm:
+        batch = layer_norm(batch, p["final_layer_norm"], config.layer_norm_eps)
+    batch = gelu(
+        dense(batch, p["feed_forward"]["intermediate_dense"]),
+        approximate=config.is_gelu_approx,
+    )
+    batch = dropout(batch, config.dropout, rngs[2] if training else None, deterministic)
+    batch = dense(batch, p["feed_forward"]["output_dense"])
+    # FFN residual goes through stochastic depth (reference `encoder.py:130`).
+    batch = stochastic_depth(
+        residual,
+        batch,
+        config.survival_prob,
+        rngs[3] if training else None,
+        deterministic,
+    )
+    if not prenorm:
+        batch = layer_norm(batch, p["final_layer_norm"], config.layer_norm_eps)
+    return batch
+
+
+def encoder_forward(
+    params,
+    config: Wav2Vec2Config,
+    x: jax.Array,
+    frame_mask: Optional[jax.Array],
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Positional conv embed + N transformer layers via `lax.scan`.
+
+    Reference `encoder.py:251-276`.  The scan keeps compile time constant in
+    depth and lets `jax.checkpoint` rematerialise per-layer activations.
+    """
+    next_key = _rng_stream(rng)
+
+    mask_bias = None
+    if frame_mask is not None:
+        # zero out masked frames before the positional conv
+        # (reference `encoder.py:253`)
+        x = jnp.where(frame_mask[:, :, None], x, jnp.zeros_like(x))
+        mask_bias = mask_to_bias(frame_mask, jnp.float32)
+
+    x = x + pos_conv_embed(
+        x,
+        params["pos_conv_embed"]["conv"],
+        config.num_conv_pos_embeddings,
+        config.num_conv_pos_embedding_groups,
+        config.is_gelu_approx,
+    )
+
+    prenorm = config.attention_norm_type == "prenorm"
+    if not prenorm:
+        x = layer_norm(x, params["layer_norm"], config.layer_norm_eps)
+    x = dropout(x, config.dropout, next_key() if training else None, not training)
+
+    if training:
+        layer_rngs = jax.random.split(next_key(), config.num_layers * 4).reshape(
+            config.num_layers, 4
+        )
+    else:
+        layer_rngs = jnp.zeros((config.num_layers, 4), jnp.uint32)  # unused
+
+    def body(h, xs):
+        layer_params, layer_rng = xs
+        h = transformer_layer_forward(
+            h, layer_params, config, mask_bias, training=training, rngs=layer_rng
+        )
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
+
+    if prenorm:
+        x = layer_norm(x, params["layer_norm"], config.layer_norm_eps)
+    return x
+
+
+def wav2vec2_forward(
+    params,
+    config: Wav2Vec2Config,
+    batch: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+) -> jax.Array:
+    """`Wav2Vec2Model.call` (reference `modeling.py:169-209`).
+
+    Args:
+      batch: (B, L_samples) normalised waveform.
+      attention_mask: optional (B, L_samples) 0/1 sample-level mask; converted
+        to a frame-level mask through the conv stride arithmetic
+        (reference `modeling.py:201-206`).
+    Returns:
+      (B, L_frames, hidden_size) hidden states.
+    """
+    next_key = _rng_stream(rng)
+
+    x = feature_encoder_forward(
+        params["feature_extractor"], config, batch, compute_dtype
+    )
+
+    fp = params["feature_projection"]
+    x = layer_norm(x, fp["layer_norm"], config.layer_norm_eps)
+    x = dense(x, fp["projection"])
+    x = dropout(x, config.dropout, next_key() if training else None, not training)
+
+    if training and config.apply_spec_augment:
+        x = apply_spec_augmentation(
+            next_key(),
+            x,
+            params["masked_spec_embed"],
+            config.mask_time_prob,
+            config.mask_time_length,
+        )
+
+    frame_mask = None
+    if attention_mask is not None:
+        input_length = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+        frame_length = config.conv_output_length(input_length)
+        frame_mask = jnp.arange(x.shape[1])[None, :] < frame_length[:, None]
+
+    return encoder_forward(
+        params["encoder"],
+        config,
+        x,
+        frame_mask,
+        training=training,
+        rng=next_key() if training else None,
+        remat=remat,
+    )
+
+
+def wav2vec2_for_ctc_forward(
+    params,
+    config: Wav2Vec2Config,
+    batch: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+) -> jax.Array:
+    """`Wav2Vec2ForCTC.call`: base model → dropout → LM head.
+
+    Reference `modeling.py:239-255`.  Returns (B, L_frames, vocab) logits.
+    """
+    next_key = _rng_stream(rng)
+    head_rng = next_key() if training else None
+    body_rng = next_key() if training else None
+    x = wav2vec2_forward(
+        params["wav2vec2"],
+        config,
+        batch,
+        attention_mask,
+        training=training,
+        rng=body_rng,
+        compute_dtype=compute_dtype,
+        remat=remat,
+    )
+    x = dropout(x, config.dropout, head_rng, not training)
+    logits = dense(x, params["lm_head"])
+    return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Object wrappers (reference public API: `from_pretrained` & friends)
+# ---------------------------------------------------------------------------
+
+JAX_WEIGHTS_NAME = "jax_model.msgpack"
+
+
+class _PretrainedMixin:
+    """`save_pretrained` / `from_pretrained` / `push_to_hub`.
+
+    Mirrors the reference `TFKerasModel` hub mixin (`modeling.py:21-102`)
+    with a JAX-native on-disk format (config.json + msgpack param tree) and
+    transparent fallbacks that convert reference `tf_model.h5` or HF PyTorch
+    checkpoints found in the same directory.
+    """
+
+    config: Wav2Vec2Config
+    params: dict
+
+    def save_pretrained(self, save_dir: str) -> None:
+        from flax import serialization
+
+        self.config.save_pretrained(save_dir)
+        with open(os.path.join(save_dir, JAX_WEIGHTS_NAME), "wb") as f:
+            f.write(serialization.to_bytes(self.params))
+
+    def push_to_hub(self, directory: str, model_id: str):
+        try:
+            from huggingface_hub import HfApi
+        except ImportError as e:  # pragma: no cover - hub optional
+            raise ImportError("push_to_hub requires `huggingface_hub`") from e
+        api = HfApi()
+        api.create_repo(model_id, exist_ok=True)
+        return api.upload_folder(folder_path=directory, repo_id=model_id)
+
+    @classmethod
+    def from_pretrained(cls, model_id: str, **config_kwargs):
+        """Load from a local directory (or download from HF Hub when online).
+
+        Accepts, in priority order: `jax_model.msgpack` (native),
+        `tf_model.h5` (reference checkpoint format), or
+        `pytorch_model.bin` / `model.safetensors` (HF PyTorch).
+        Extra kwargs are `replace()`d into the config, as in the reference
+        (`modeling.py:78-80`).  `input_shape` is accepted and ignored — JAX
+        init is shape-polymorphic.
+        """
+        save_dir = model_id
+        if not os.path.isdir(save_dir):
+            save_dir = _download_from_hub(model_id)
+        config_kwargs.pop("input_shape", None)
+
+        config_cls = Wav2Vec2Config
+        config = config_cls.from_json(os.path.join(save_dir, "config.json"))
+        if config.is_robust:
+            config = RobustWav2Vec2Config(
+                **{k: v for k, v in config.__dict__.items()}
+            )
+        config = config.replace(**config_kwargs)
+        model = cls(config, seed=0)
+
+        msgpack_path = os.path.join(save_dir, JAX_WEIGHTS_NAME)
+        h5_path = os.path.join(save_dir, "tf_model.h5")
+        pt_paths = [
+            os.path.join(save_dir, n)
+            for n in ("model.safetensors", "pytorch_model.bin")
+        ]
+        if os.path.isfile(msgpack_path):
+            from flax import serialization
+
+            with open(msgpack_path, "rb") as f:
+                model.params = serialization.from_bytes(model.params, f.read())
+        elif os.path.isfile(h5_path):
+            from ..convert.h5_to_jax import load_h5_params
+
+            model.params = load_h5_params(
+                h5_path, model.params, with_lm_head=cls._with_lm_head
+            )
+        elif any(os.path.isfile(p) for p in pt_paths):
+            from ..convert.torch_to_jax import load_torch_file_params
+
+            path = next(p for p in pt_paths if os.path.isfile(p))
+            model.params = load_torch_file_params(
+                path, model.params, config, with_lm_head=cls._with_lm_head
+            )
+        else:
+            raise FileNotFoundError(
+                f"No weights found in {save_dir} (looked for {JAX_WEIGHTS_NAME}, "
+                "tf_model.h5, model.safetensors, pytorch_model.bin)"
+            )
+        print(
+            "Total number of loaded variables:",
+            len(jax.tree_util.tree_leaves(model.params)),
+        )
+        return model
+
+
+def _download_from_hub(model_id: str) -> str:
+    try:
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download(model_id)
+    except Exception as e:
+        raise ValueError(
+            f"`{model_id}` is not a local directory and downloading from the "
+            f"HuggingFace Hub failed ({e}). Pass a local path."
+        ) from e
+
+
+class Wav2Vec2Model(_PretrainedMixin):
+    """Feature encoder + transformer encoder (no head).
+
+    Reference `modeling.py:105-214`.
+    """
+
+    _with_lm_head = False
+    _forward = staticmethod(wav2vec2_forward)
+    _init = staticmethod(init_wav2vec2_params)
+
+    def __init__(
+        self,
+        config: Wav2Vec2Config,
+        seed: int = 0,
+        params: Optional[dict] = None,
+        compute_dtype=jnp.float32,
+        remat: bool = False,
+        input_shape=None,  # accepted for reference API compat; unused
+    ):
+        if not isinstance(config, Wav2Vec2Config):
+            raise ValueError("`config` must be an instance of `Wav2Vec2Config`")
+        self.config = config
+        self.compute_dtype = compute_dtype
+        self.remat = remat
+        self.params = (
+            params
+            if params is not None
+            else self._init(jax.random.PRNGKey(seed), config)
+        )
+        self._jitted = {}
+
+    def _get_jitted(self, training: bool, has_mask: bool):
+        key = (training, has_mask)
+        if key not in self._jitted:
+            fwd = self._forward
+            cfg, cdtype, remat = self.config, self.compute_dtype, self.remat
+
+            if has_mask:
+
+                def fn(params, batch, attention_mask, rng=None):
+                    return fwd(
+                        params, cfg, batch, attention_mask,
+                        training=training, rng=rng,
+                        compute_dtype=cdtype, remat=remat,
+                    )
+
+            else:
+
+                def fn(params, batch, rng=None):
+                    return fwd(
+                        params, cfg, batch, None,
+                        training=training, rng=rng,
+                        compute_dtype=cdtype, remat=remat,
+                    )
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def __call__(self, batch, attention_mask=None, training: bool = False, rng=None):
+        if self.config.is_robust and attention_mask is None:
+            logger.warning(
+                "You should pass `attention_mask` when working with Wav2Vec2 "
+                "new checkpoints"
+            )
+        elif not self.config.is_robust and attention_mask is not None:
+            logger.warning(
+                "You should not pass `attention_mask` when working with "
+                "checkpoints based on `wav2vec2-base`"
+            )
+        batch = jnp.asarray(batch)
+        if training and rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        fn = self._get_jitted(training, attention_mask is not None)
+        if attention_mask is not None:
+            return fn(self.params, batch, jnp.asarray(attention_mask), rng)
+        return fn(self.params, batch, rng)
+
+    def freeze_feature_extractor(self):
+        """Return a pytree of bools marking trainable params.
+
+        The reference mutates Keras `trainable` flags (`modeling.py:211-214`);
+        in JAX the equivalent is an optax mask, produced here.  False =
+        frozen (the 7 conv layers), True = trainable.
+        """
+        return _trainable_mask(self.params, frozen_subtrees=("feature_extractor",))
+
+
+class Wav2Vec2ForCTC(Wav2Vec2Model):
+    """Wav2Vec2 model with a CTC head (reference `modeling.py:217-255`)."""
+
+    _with_lm_head = True
+    _forward = staticmethod(wav2vec2_for_ctc_forward)
+    _init = staticmethod(init_wav2vec2_for_ctc_params)
+
+    def freeze_feature_extractor(self):
+        return _trainable_mask(self.params, frozen_subtrees=("feature_extractor",))
+
+
+def _trainable_mask(params, frozen_subtrees=()):
+    """Bool pytree: False for any leaf under a key in `frozen_subtrees`."""
+
+    def walk(tree, frozen):
+        if isinstance(tree, dict):
+            return {
+                k: walk(v, frozen or (k in frozen_subtrees)) for k, v in tree.items()
+            }
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, frozen) for v in tree)
+        return not frozen
+
+    return walk(params, False)

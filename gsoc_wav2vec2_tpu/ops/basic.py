@@ -1,0 +1,112 @@
+"""Elementary TPU-friendly building blocks.
+
+These are the JAX equivalents of the reference's Keras layers
+(`/root/reference/src/wav2vec2/tensorflow_addons.py`, Keras Dense /
+LayerNormalization).  Normalisation statistics are always accumulated in
+float32 regardless of the compute dtype so that bfloat16 forward passes stay
+numerically stable on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def gelu(x: jax.Array, approximate: bool = False) -> jax.Array:
+    """GELU matching `tf.nn.gelu` (reference `feature_extractor.py:58`).
+
+    `approximate=False` (the reference default, `config.is_gelu_approx`) uses
+    the exact erf formulation.
+    """
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def dense(x: jax.Array, params: dict) -> jax.Array:
+    """`y = x @ kernel + bias` with a TF-layout kernel of shape (in, out)."""
+    kernel = params["kernel"].astype(x.dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
+    bias = params.get("bias")
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def layer_norm(
+    x: jax.Array, params: dict, eps: float = 1e-5, axis: int = -1
+) -> jax.Array:
+    """LayerNormalization matching Keras semantics.
+
+    Population variance, eps inside the sqrt
+    (reference uses `tf.keras.layers.LayerNormalization(epsilon=1e-5)`).
+    """
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axis, keepdims=True)
+    var = jnp.var(x32, axis=axis, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["gamma"].astype(jnp.float32) + params["beta"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def group_norm(
+    x: jax.Array, params: dict, groups: int, eps: float = 1e-5
+) -> jax.Array:
+    """GroupNormalization over a (B, T, C) tensor, channels-last.
+
+    Matches the vendored tensorflow_addons layer
+    (reference `tensorflow_addons.py:66-329`): reshape into
+    (B, T, G, C // G) and normalise over the (T, C // G) axes.  With
+    `groups == C` (the wav2vec2-base conv layer 0 case: 512 groups over 512
+    channels) this degenerates to per-channel instance norm over time.
+    """
+    dtype = x.dtype
+    b, t, c = x.shape
+    x32 = x.astype(jnp.float32).reshape(b, t, groups, c // groups)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    var = jnp.var(x32, axis=(1, 3), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, t, c)
+    y = y * params["gamma"].astype(jnp.float32) + params["beta"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def dropout(
+    x: jax.Array,
+    rate: float,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+) -> jax.Array:
+    """Inverted dropout (Keras `Dropout` semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    if rng is None:
+        raise ValueError("dropout requires an rng key when not deterministic")
+    keep_prob = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
+
+
+def stochastic_depth(
+    residual: jax.Array,
+    branch: jax.Array,
+    survival_prob: float,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+) -> jax.Array:
+    """Stochastic depth on a residual branch.
+
+    Training: the branch is kept with probability `survival_prob` (a single
+    Bernoulli draw for the whole batch, matching the vendored tfa layer).
+    Inference: the branch is deliberately NOT rescaled by `survival_prob`
+    (reference `tensorflow_addons.py:386-390` keeps the sum un-scaled so
+    fine-tuned weights are not disturbed).
+    """
+    if deterministic or survival_prob >= 1.0:
+        return residual + branch
+    if rng is None:
+        raise ValueError("stochastic_depth requires an rng key when training")
+    keep = jax.random.bernoulli(rng, survival_prob)
+    return residual + jnp.where(keep, branch, jnp.zeros_like(branch))

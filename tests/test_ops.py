@@ -1,0 +1,141 @@
+"""Unit parity tests for the op library against PyTorch oracles.
+
+Mirrors the reference's op-level test strategy
+(`/root/reference/tests/test_wav2vec2.py:239-282` for weight-norm conv).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsoc_wav2vec2_tpu.ops import basic, conv
+from tests.utils import requires_torch
+
+
+@requires_torch
+def test_weight_norm_conv_matches_torch():
+    """`Conv1DWithWeightNorm` semantics == torch weight_norm(Conv1d, dim=2).
+
+    Mirrors reference `tests/test_wav2vec2.py:239-282` (atol 1e-4 there).
+    """
+    import torch
+
+    b, t, c_in, c_out, k, groups, pad = 2, 64, 32, 32, 16, 4, 8
+    torch_conv = torch.nn.Conv1d(c_in, c_out, k, groups=groups, padding=pad)
+    torch_conv = torch.nn.utils.weight_norm(torch_conv, dim=2)
+
+    x = np.random.RandomState(0).randn(b, t, c_in).astype(np.float32)
+    with torch.no_grad():
+        expected = (
+            torch_conv(torch.from_numpy(x).transpose(1, 2))
+            .transpose(1, 2)
+            .numpy()
+        )
+
+    # torch layout (out, in/g, K) -> TF/JAX layout (K, in/g, out)
+    weight_v = torch_conv.weight_v.detach().numpy().transpose(2, 1, 0)
+    weight_g = torch_conv.weight_g.detach().numpy().transpose(2, 1, 0)
+    bias = torch_conv.bias.detach().numpy()
+
+    kernel = conv.weight_norm_kernel(jnp.asarray(weight_v), jnp.asarray(weight_g))
+    got = conv.conv1d(
+        jnp.asarray(x), kernel, jnp.asarray(bias),
+        stride=1, padding=((pad, pad),), groups=groups,
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+@requires_torch
+def test_init_weight_g_is_kernel_norm():
+    """weight_g initialiser equals the per-position kernel norm
+    (reference `tensorflow_addons.py:36-48`)."""
+    v = jnp.asarray(np.random.RandomState(1).randn(16, 8, 32).astype(np.float32))
+    g = conv.init_weight_g(v)
+    assert g.shape == (16, 1, 1)
+    # with g = ||v||, the recomposed kernel equals v
+    np.testing.assert_allclose(
+        np.asarray(conv.weight_norm_kernel(v, g)), np.asarray(v), rtol=1e-5
+    )
+
+
+@requires_torch
+def test_group_norm_instance_case_matches_torch():
+    """groups == channels (wav2vec2-base conv layer 0) == InstanceNorm."""
+    import torch
+
+    b, t, c = 2, 50, 32
+    x = np.random.RandomState(0).randn(b, t, c).astype(np.float32)
+    gamma = np.random.RandomState(1).rand(c).astype(np.float32) + 0.5
+    beta = np.random.RandomState(2).randn(c).astype(np.float32)
+
+    gn = torch.nn.GroupNorm(c, c, eps=1e-5)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(gamma))
+        gn.bias.copy_(torch.from_numpy(beta))
+        expected = gn(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2).numpy()
+
+    got = basic.group_norm(
+        jnp.asarray(x), {"gamma": jnp.asarray(gamma), "beta": jnp.asarray(beta)},
+        groups=c, eps=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
+@requires_torch
+def test_layer_norm_matches_torch():
+    import torch
+
+    x = np.random.RandomState(0).randn(2, 7, 48).astype(np.float32)
+    gamma = np.random.RandomState(1).rand(48).astype(np.float32)
+    beta = np.random.RandomState(2).randn(48).astype(np.float32)
+    ln = torch.nn.LayerNorm(48, eps=1e-5)
+    with torch.no_grad():
+        ln.weight.copy_(torch.from_numpy(gamma))
+        ln.bias.copy_(torch.from_numpy(beta))
+        expected = ln(torch.from_numpy(x)).numpy()
+    got = basic.layer_norm(
+        jnp.asarray(x), {"gamma": jnp.asarray(gamma), "beta": jnp.asarray(beta)}
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
+@requires_torch
+def test_gelu_matches_torch_exact_and_tanh():
+    import torch
+
+    x = np.linspace(-4, 4, 101, dtype=np.float32)
+    exact = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+    tanh = torch.nn.functional.gelu(torch.from_numpy(x), approximate="tanh").numpy()
+    np.testing.assert_allclose(
+        np.asarray(basic.gelu(jnp.asarray(x), approximate=False)), exact, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(basic.gelu(jnp.asarray(x), approximate=True)), tanh, atol=1e-6
+    )
+
+
+def test_dropout_deterministic_and_scaling():
+    x = jnp.ones((1000,))
+    assert np.asarray(basic.dropout(x, 0.5, None, True)).sum() == 1000
+    out = basic.dropout(x, 0.5, jax.random.PRNGKey(0), False)
+    kept = np.asarray(out) > 0
+    assert 300 < kept.sum() < 700
+    np.testing.assert_allclose(np.asarray(out)[kept], 2.0)
+
+
+def test_stochastic_depth_no_rescale_at_eval():
+    """Reference deliberately does NOT rescale at inference
+    (`tensorflow_addons.py:386-390`)."""
+    res = jnp.ones((4, 4))
+    branch = jnp.full((4, 4), 2.0)
+    out = basic.stochastic_depth(res, branch, 0.5, None, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), 3.0)  # not 1 + 0.5*2
+
+    outs = set()
+    for i in range(20):
+        o = basic.stochastic_depth(
+            res, branch, 0.5, jax.random.PRNGKey(i), deterministic=False
+        )
+        outs.add(float(np.asarray(o)[0, 0]))
+    assert outs == {1.0, 3.0}  # branch dropped or kept wholesale
