@@ -284,11 +284,11 @@ def encoder_forward(
     x = dropout(x, config.dropout, next_key() if training else None, not training)
 
     if training:
-        layer_rngs = jax.random.split(next_key(), config.num_layers * 4).reshape(
-            config.num_layers, 4
-        )
+        keys = jax.random.split(next_key(), config.num_layers * 4)
+        # keep the trailing key dims (legacy uint32 keys are (n, 2))
+        layer_rngs = keys.reshape((config.num_layers, 4) + keys.shape[1:])
     else:
-        layer_rngs = jnp.zeros((config.num_layers, 4), jnp.uint32)  # unused
+        layer_rngs = jnp.zeros((config.num_layers, 4, 2), jnp.uint32)  # unused
 
     def body(h, xs):
         layer_params, layer_rng = xs

@@ -1,0 +1,80 @@
+"""Train state + optimizer recipes.
+
+The reference trains with Keras `model.fit` in two stages
+(`/root/reference/src/main.py:204-255`):
+
+  stage 1: backbone frozen (`model.layers[0].trainable = False`), Adam 1e-3,
+           trains only the LM head;
+  stage 2: everything unfrozen except the 7 conv feature-extractor layers,
+           Adam 1e-4 dropping to 5e-5 after epoch 10
+           (`training_utils.py:24-31`).
+
+Keras encodes freezing by mutating `trainable` flags; the JAX equivalent is
+an `optax.masked` wrapper built from a bool pytree (True = trainable), as
+produced by `Wav2Vec2Model.freeze_feature_extractor` / `trainable_mask`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def trainable_mask(params, frozen_subtrees=()) -> Any:
+    """Bool pytree: False for every leaf under a key in `frozen_subtrees`.
+
+    `frozen_subtrees` entries are dict-key names matched anywhere in the
+    path, e.g. ``("feature_extractor",)`` freezes the conv stack and
+    ``("wav2vec2",)`` freezes the whole backbone (stage 1).
+    """
+
+    def walk(tree, frozen):
+        if isinstance(tree, dict):
+            return {k: walk(v, frozen or (k in frozen_subtrees)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, frozen) for v in tree)
+        return not frozen
+
+    return walk(params, False)
+
+
+def stage2_lr_schedule(
+    lr1: float = 1e-4, lr2: float = 5e-5, transition_step: int = 0
+) -> optax.Schedule:
+    """Step function `lr1 until transition_step, then lr2`.
+
+    Mirrors the reference's epoch-keyed `LearningRateScheduler`
+    (`training_utils.py:24-31`) but keyed on optimizer steps, which is what
+    a jitted train loop sees.
+    """
+    return optax.join_schedules(
+        [optax.constant_schedule(lr1), optax.constant_schedule(lr2)],
+        [transition_step],
+    )
+
+
+def create_optimizer(
+    learning_rate, trainable: Optional[Any] = None
+) -> optax.GradientTransformation:
+    """Adam (reference uses `tf.keras.optimizers.Adam`, `main.py:216,242`),
+    optionally masked so frozen parameters receive zero updates."""
+    tx = optax.adam(learning_rate)
+    if trainable is not None:
+        tx = optax.masked(tx, trainable)
+    return tx
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    import jax.numpy as jnp
+
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))

@@ -1,0 +1,119 @@
+"""Sharded train / eval steps: one XLA program per step.
+
+The reference's hot loop is Keras `model.fit` under a `TPUStrategy` scope
+(`/root/reference/src/main.py:192-255`): per-step forward, CTC loss computed
+*outside* the jitted region (because `tf.nn.ctc_loss` does not XLA-compile,
+reference `tests/test_wav2vec2.py:196-210`), backward, implicit cross-replica
+gradient all-reduce.
+
+TPU-native version: forward + CTC loss + backward + Adam update compile into
+a single `jit` over a ("data", "model") mesh.  Sharding follows the data:
+the caller places the batch with `P("data")` and the parameters with the
+tensor-parallel rules (`parallel/partition.py`); GSPMD propagates those
+shardings through the whole step and inserts the gradient reductions over
+ICI — there is no hand-written collective anywhere.  Loss reduction matches
+the reference exactly: SUM over the global batch divided by
+`division_factor` (= global batch size, `main.py:196-200`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.config import Wav2Vec2Config
+from ..models.modeling import wav2vec2_for_ctc_forward
+from ..ops.ctc import ctc_loss_fn
+from .state import TrainState
+
+
+def global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def make_train_step(
+    config: Wav2Vec2Config,
+    tx: optax.GradientTransformation,
+    *,
+    division_factor: float,
+    with_attention_mask: bool = False,
+    length_aware: bool = False,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+):
+    """Build the jitted `(state, batch, rng) -> (state, metrics)` step.
+
+    `batch` is a dict with ``speech`` (B, L) float32, ``labels`` (B, U) int32
+    and optionally ``attention_mask`` (B, L).  State buffers are donated —
+    parameters and optimizer slots update in place in HBM.
+    """
+
+    def loss_fn(params, batch, rng):
+        mask = batch.get("attention_mask") if with_attention_mask else None
+        logits = wav2vec2_for_ctc_forward(
+            params,
+            config,
+            batch["speech"],
+            mask,
+            training=True,
+            rng=rng,
+            compute_dtype=compute_dtype,
+            remat=remat,
+        )
+        b, t = logits.shape[0], logits.shape[1]
+        if length_aware and mask is not None:
+            sample_lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            logit_lengths = config.conv_output_length(sample_lengths)
+        else:
+            # reference quirk kept for recipe parity: constant logit length
+            # including padding frames (`losses.py:29-30,47-56`)
+            logit_lengths = jnp.full((b,), t, jnp.int32)
+        per_sample = ctc_loss_fn(logits, batch["labels"], logit_lengths, config.pad_id)
+        return jnp.sum(per_sample) / division_factor
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": global_norm(grads)}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(
+    config: Wav2Vec2Config,
+    *,
+    with_attention_mask: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Jitted `(params, batch) -> (greedy_ids, frame_lengths)` for WER eval.
+
+    The argmax runs on device; the CTC groupby collapse and string join stay
+    on host (`data/processor.py::decode`).  `frame_lengths` lets the host
+    drop padding frames before the collapse — the capability the reference's
+    constant-pad eval path lacked (it costs 2.7 WER points, SURVEY.md §6).
+    """
+
+    def eval_fn(params, batch):
+        mask = batch.get("attention_mask") if with_attention_mask else None
+        logits = wav2vec2_for_ctc_forward(
+            params, config, batch["speech"], mask, training=False,
+            compute_dtype=compute_dtype,
+        )
+        predictions = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if mask is not None:
+            lengths = config.conv_output_length(
+                jnp.sum(mask.astype(jnp.int32), axis=-1)
+            ).astype(jnp.int32)
+        else:
+            lengths = jnp.full((logits.shape[0],), logits.shape[1], jnp.int32)
+        return predictions, lengths
+
+    return jax.jit(eval_fn)

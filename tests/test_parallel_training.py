@@ -1,0 +1,144 @@
+"""Multi-device (8 virtual CPU) tests for the sharded training stack.
+
+The reference had NO distributed tests (SURVEY.md §4: validated by running
+`main.py` on a real v3-8).  Here the data∥tensor-parallel train step runs on
+a virtual 8-device mesh in CI, per the JAX-native test recipe.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsoc_wav2vec2_tpu import Wav2Vec2Config
+from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
+from gsoc_wav2vec2_tpu.parallel import (
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    param_specs,
+    replicated,
+    shard_params,
+)
+from gsoc_wav2vec2_tpu.training import (
+    TrainState,
+    create_optimizer,
+    make_train_step,
+    stage2_lr_schedule,
+    trainable_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_config():
+    return Wav2Vec2Config(
+        hidden_size=64,
+        num_heads=4,
+        num_layers=2,
+        intermediate_size=128,
+        filter_sizes=[32, 32],
+        kernal_sizes=[10, 3],
+        strides=[5, 2],
+    )
+
+
+def _make_batch(rng, global_batch, audio_len=4000, label_len=8):
+    labels = np.zeros((global_batch, label_len), np.int32)
+    labels[:, :3] = [5, 6, 7]
+    return {
+        "speech": jax.random.normal(rng, (global_batch, audio_len), jnp.float32),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((global_batch, audio_len), jnp.float32),
+    }
+
+
+def test_param_specs_tensor_parallel(tiny_config):
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), tiny_config)
+    specs = param_specs(params)
+    layers = specs["wav2vec2"]["encoder"]["layers"]
+    # column-parallel: trailing dim sharded; stacked layer dim replicated
+    assert layers["attention"]["q_proj"]["kernel"] == jax.sharding.PartitionSpec(
+        None, None, MODEL_AXIS
+    )
+    assert layers["feed_forward"]["output_dense"]["kernel"] == (
+        jax.sharding.PartitionSpec(None, MODEL_AXIS, None)
+    )
+    # conv front-end replicated
+    conv = specs["wav2vec2"]["feature_extractor"]["conv_layers"][0]["conv"]["kernel"]
+    assert conv == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_train_step_runs_and_learns(tiny_config, mesh_shape):
+    data, model = mesh_shape
+    mesh = make_mesh(data=data, model=model)
+    params = shard_params(
+        init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), tiny_config), mesh
+    )
+    tx = create_optimizer(1e-3)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    global_batch = data * 2
+    step = make_train_step(
+        tiny_config,
+        tx,
+        division_factor=global_batch,
+        with_attention_mask=True,
+        compute_dtype=jnp.float32,
+    )
+    b_shard = batch_sharding(mesh)
+    batch = jax.device_put(_make_batch(jax.random.PRNGKey(1), global_batch), b_shard)
+    rng = jax.device_put(jax.random.PRNGKey(2), replicated(mesh))
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3
+    # same batch re-fed: Adam must reduce the loss
+    assert losses[-1] < losses[0]
+
+
+def test_frozen_subtree_stays_fixed(tiny_config):
+    mesh = make_mesh(data=8, model=1)
+    params0 = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), tiny_config)
+    # snapshot before the step: state donation may recycle aliased buffers
+    before = np.asarray(params0["wav2vec2"]["feature_projection"]["projection"]["kernel"])
+    head_before = np.asarray(params0["lm_head"]["kernel"])
+    params = shard_params(params0, mesh)
+    # stage-1 recipe: whole backbone frozen, only lm_head trains
+    # (reference `main.py:210`)
+    mask = trainable_mask(params, ("wav2vec2",))
+    tx = create_optimizer(1e-3, mask)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    step = make_train_step(
+        tiny_config, tx, division_factor=16, with_attention_mask=True,
+        compute_dtype=jnp.float32,
+    )
+    batch = jax.device_put(
+        _make_batch(jax.random.PRNGKey(1), 16), batch_sharding(mesh)
+    )
+    state, _ = step(state, batch, jax.device_put(jax.random.PRNGKey(2), replicated(mesh)))
+
+    after = np.asarray(state.params["wav2vec2"]["feature_projection"]["projection"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    head_after = np.asarray(state.params["lm_head"]["kernel"])
+    assert np.abs(head_after - head_before).max() > 0
+
+
+def test_stage2_lr_schedule():
+    # reference `training_utils.py:24-31`: lr1 until the transition epoch,
+    # lr2 after
+    sched = stage2_lr_schedule(1e-4, 5e-5, transition_step=100)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(99)) == pytest.approx(1e-4)
+    assert float(sched(100)) == pytest.approx(5e-5)
+    assert float(sched(1000)) == pytest.approx(5e-5)
