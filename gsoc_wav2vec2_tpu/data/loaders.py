@@ -1,0 +1,345 @@
+"""Host-side data pipeline: LibriSpeech / TIMIT / TFRecord loaders.
+
+Functional equivalent of the reference's tf.data pipeline
+(`/root/reference/src/data_utils.py`), rebuilt without the TF runtime:
+
+  * audio decode + TFRecord parsing via the native C++ library
+    (`native_io.py`) instead of soundfile / tf.audio / tf.data;
+  * truncate-to-maxlen then pad to fixed `(audio_maxlen, labels_maxlen)`
+    shapes (XLA needs static shapes; the reference used `padded_batch`,
+    `data_utils.py:62-78`);
+  * seeded shuffling that actually happens — the reference's
+    `dataset.shuffle(...)` discarded its return value
+    (`data_utils.py:59-60`), a no-op it trained with;
+  * per-host sharding for multi-host SPMD (`shard_index/shard_count`,
+    fed from `jax.process_index()` by the trainer) — the reference relied
+    on every host reading the same GCS files;
+  * background-thread prefetch (the tf.data `prefetch(AUTOTUNE)` analog).
+
+Loader args keep the reference's field names and defaults
+(`data_utils.py:94-140`).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from . import native_io
+from .processor import Wav2Vec2Processor
+
+SPEECH_DTYPE = np.float32
+LABEL_DTYPE = np.int32
+
+
+def find_files(data_dir: str, suffix: str) -> List[str]:
+    """Recursively collect files ending in `suffix` (reference
+    `data_utils.py:80-91`), sorted for determinism."""
+    found = []
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(suffix):
+                found.append(os.path.abspath(os.path.join(root, f)))
+    return sorted(found)
+
+
+def _prefetch(iterator, depth: int = 2):
+    """Run `iterator` in a daemon thread, keeping `depth` items ready."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_SENTINEL)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        yield item
+
+
+@dataclass
+class LibriSpeechDataLoaderArgs:
+    """Reference `data_utils.py:94-121` (same fields & defaults)."""
+
+    from_tfrecords: bool = False
+    tfrecords: Optional[List[str]] = None
+    data_dir: Optional[str] = "../data/LibriSpeech/test-clean"
+
+    batch_size: int = 16
+    buffer_size: int = 10000
+
+    audio_maxlen: int = 400000
+    audio_pad_id: int = 0
+
+    labels_maxlen: int = 128
+    labels_pad_id: int = 0
+
+    def __post_init__(self):
+        if self.from_tfrecords:
+            self.data_dir = None
+            assert self.tfrecords, "You must specify `tfrecords` when `from_tfrecords=True`."
+        else:
+            self.tfrecords = None
+            assert self.data_dir, "You must specify `data_dir` when `from_tfrecords=False`."
+
+
+@dataclass
+class TimitDataLoaderArgs:
+    """Reference `data_utils.py:124-140`."""
+
+    data_dir: str = "../data/timit/data/TRAIN"
+    batch_size: int = 16
+    buffer_size: int = 10000
+    audio_maxlen: int = 400000
+    audio_pad_id: int = 0
+    labels_maxlen: int = 128
+    labels_pad_id: int = 0
+
+
+class CommonDataLoader:
+    """Shuffle → truncate → pad → batch → prefetch (reference
+    `CommonDataLoader.batchify`, `data_utils.py:52-78`)."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        buffer_size: int,
+        audio_pad_id,
+        labels_pad_id: int,
+        audio_maxlen: int,
+        labels_maxlen: int,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        self.batch_size = batch_size
+        self.buffer_size = buffer_size
+        self.audio_pad_id = float(audio_pad_id)
+        self.labels_pad_id = labels_pad_id
+        self.audio_maxlen = audio_maxlen
+        self.labels_maxlen = labels_maxlen
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.processor = Wav2Vec2Processor(is_tokenizer=False)
+        self.tokenizer = Wav2Vec2Processor(is_tokenizer=True)
+
+    # -- batching ---------------------------------------------------------
+
+    def _pad_batch(self, samples) -> dict:
+        b = len(samples)
+        speech = np.full((b, self.audio_maxlen), self.audio_pad_id, SPEECH_DTYPE)
+        labels = np.full((b, self.labels_maxlen), self.labels_pad_id, LABEL_DTYPE)
+        attention_mask = np.zeros((b, self.audio_maxlen), SPEECH_DTYPE)
+        for i, (s, l) in enumerate(samples):
+            s = s[: self.audio_maxlen]
+            l = l[: self.labels_maxlen]
+            speech[i, : len(s)] = s
+            labels[i, : len(l)] = l
+            attention_mask[i, : len(s)] = 1.0
+        return {"speech": speech, "labels": labels, "attention_mask": attention_mask}
+
+    def batchify(
+        self,
+        sample_iter: Iterator[Tuple[np.ndarray, np.ndarray]],
+        seed: Optional[int] = None,
+        drop_remainder: bool = True,
+    ) -> Iterator[dict]:
+        """Yield fixed-shape batches.  `seed is not None` enables a
+        buffer_size reservoir shuffle (the behaviour the reference
+        *intended* at `data_utils.py:59-60` — its call was a no-op)."""
+
+        def generate():
+            if seed is None:
+                buf = []
+                for sample in sample_iter:
+                    buf.append(sample)
+                    if len(buf) == self.batch_size:
+                        yield self._pad_batch(buf)
+                        buf = []
+                if buf and not drop_remainder:
+                    yield self._pad_batch(buf)
+            else:
+                rng = np.random.default_rng(seed)
+                pool: list = []
+                batch: list = []
+
+                def drain(sample):
+                    nonlocal batch
+                    batch.append(sample)
+                    if len(batch) == self.batch_size:
+                        out = self._pad_batch(batch)
+                        batch = []
+                        return out
+                    return None
+
+                for sample in sample_iter:
+                    if len(pool) < self.buffer_size:
+                        pool.append(sample)
+                        continue
+                    j = int(rng.integers(0, len(pool)))
+                    pool[j], sample = sample, pool[j]
+                    out = drain(sample)
+                    if out is not None:
+                        yield out
+                rng.shuffle(pool)
+                for sample in pool:
+                    out = drain(sample)
+                    if out is not None:
+                        yield out
+                if batch and not drop_remainder:
+                    yield self._pad_batch(batch)
+
+        return _prefetch(generate())
+
+
+class LibriSpeechDataLoader(CommonDataLoader):
+    """LibriSpeech loader: TFRecord shards or raw `.flac` + transcript dirs.
+
+    Reference `data_utils.py:138-263`.  `__call__(seed, drop_remainder)`
+    yields dict batches of fixed shape.
+    """
+
+    def __init__(
+        self,
+        args: LibriSpeechDataLoaderArgs,
+        required_sample_rate: int = 16000,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        super().__init__(
+            args.batch_size,
+            args.buffer_size,
+            args.audio_pad_id,
+            args.labels_pad_id,
+            args.audio_maxlen,
+            args.labels_maxlen,
+            shard_index,
+            shard_count,
+        )
+        self.from_tfrecords = args.from_tfrecords
+        self.tfrecords = args.tfrecords
+        self.data_dir = args.data_dir
+        self.required_sample_rate = required_sample_rate
+        self._num_samples: Optional[int] = None
+
+    def __call__(self, seed: Optional[int] = None, drop_remainder: bool = True):
+        if self.from_tfrecords:
+            files = list(self.tfrecords)
+            if seed is not None:
+                np.random.default_rng(seed).shuffle(files)
+            # per-host sharding: whole files per host when possible,
+            # per-record striding otherwise
+            if self.shard_count > 1 and len(files) >= self.shard_count:
+                files = files[self.shard_index :: self.shard_count]
+                samples = self._tfrecord_samples(files)
+            elif self.shard_count > 1:
+                samples = (
+                    s
+                    for i, s in enumerate(self._tfrecord_samples(files))
+                    if i % self.shard_count == self.shard_index
+                )
+            else:
+                samples = self._tfrecord_samples(files)
+        else:
+            samples = self._raw_samples()
+        return self.batchify(samples, seed=seed, drop_remainder=drop_remainder)
+
+    @staticmethod
+    def _tfrecord_samples(files):
+        for path in files:
+            yield from native_io.read_tfrecords(path)
+
+    def _collect_transcripts(self) -> dict:
+        """`file_id -> text` from all `.txt` files (reference
+        `data_utils.py:236-260`)."""
+        texts = {}
+        for path in find_files(self.data_dir, ".txt"):
+            with open(path) as f:
+                for line in f.read().split("\n"):
+                    parts = line.split()
+                    if len(parts) > 2:
+                        texts[parts[0]] = " ".join(parts[1:])
+        return texts
+
+    def _matched_files(self):
+        flac_paths = find_files(self.data_dir, ".flac")
+        texts = self._collect_transcripts()
+        pairs = []
+        for path in flac_paths:
+            file_id = os.path.basename(path)[: -len(".flac")]
+            text = texts.pop(file_id, None)
+            if text is not None:
+                pairs.append((path, text))
+        discarded = len(flac_paths) - len(pairs)
+        print(f"DISCARDING {discarded} samples")
+        print(f"LOADED {len(pairs)} FILES FROM {self.data_dir}")
+        self._num_samples = len(pairs)
+        if self.shard_count > 1:
+            pairs = pairs[self.shard_index :: self.shard_count]
+        return pairs
+
+    def _raw_samples(self):
+        for path, text in self._matched_files():
+            audio, rate = native_io.decode_flac(path)
+            if rate != self.required_sample_rate:
+                raise ValueError(
+                    f"sample rate (={rate}) of your files must be "
+                    f"{self.required_sample_rate}"
+                )
+            speech = np.asarray(self.processor(audio), SPEECH_DTYPE)
+            label = np.asarray(self.tokenizer(text), LABEL_DTYPE)
+            yield speech, label
+
+    def __len__(self):
+        if self._num_samples is None:
+            raise NotImplementedError
+        return self._num_samples
+
+
+class TimitDataLoader(CommonDataLoader):
+    """TIMIT loader: paired `.WAV`/`.TXT` (reference `data_utils.py:266-324`)."""
+
+    def __init__(self, args: TimitDataLoaderArgs, shard_index: int = 0, shard_count: int = 1):
+        super().__init__(
+            args.batch_size,
+            args.buffer_size,
+            args.audio_pad_id,
+            args.labels_pad_id,
+            args.audio_maxlen,
+            args.labels_maxlen,
+            shard_index,
+            shard_count,
+        )
+        self.data_dir = args.data_dir
+        self.wav_ext = ".WAV"
+        self.txt_ext = ".TXT"
+
+    def _samples(self):
+        wav_files = {p[: -len(self.wav_ext)] for p in find_files(self.data_dir, self.wav_ext)}
+        txt_files = {p[: -len(self.txt_ext)] for p in find_files(self.data_dir, self.txt_ext)}
+        stems = sorted(wav_files & txt_files)
+        print(f"found {len(stems)} samples in {self.data_dir}")
+        if self.shard_count > 1:
+            stems = stems[self.shard_index :: self.shard_count]
+        for stem in stems:
+            audio, _rate = native_io.decode_wav(stem + self.wav_ext)
+            speech = np.asarray(self.processor(audio), SPEECH_DTYPE)
+            # TIMIT transcript lines start with two sample offsets
+            # (reference `read_timit_txt`, `data_utils.py:312-315`)
+            with open(stem + self.txt_ext) as f:
+                text = " ".join(f.read().split()[2:])
+            label = np.asarray(self.tokenizer(text), LABEL_DTYPE)
+            yield speech, label
+
+    def __call__(self, seed: Optional[int] = None, drop_remainder: bool = True):
+        return self.batchify(self._samples(), seed=seed, drop_remainder=drop_remainder)

@@ -67,10 +67,17 @@ def create_optimizer(
     learning_rate, trainable: Optional[Any] = None
 ) -> optax.GradientTransformation:
     """Adam (reference uses `tf.keras.optimizers.Adam`, `main.py:216,242`),
-    optionally masked so frozen parameters receive zero updates."""
+    optionally masked so frozen parameters receive zero updates.
+
+    Note: `optax.masked` alone would pass raw gradients through for the
+    frozen leaves — frozen params need an explicit `set_to_zero` branch.
+    """
     tx = optax.adam(learning_rate)
     if trainable is not None:
-        tx = optax.masked(tx, trainable)
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
     return tx
 
 
