@@ -1,0 +1,79 @@
+"""CLI: WER evaluation of a checkpoint on LibriSpeech-style data.
+
+Replaces the reference's two evaluation notebooks
+(`librispeech_evaluation_WER_3.ipynb` — variable length, eager, batch 1 —
+and `WER_6.ipynb` — constant pad 246000 under jit) with one jitted harness
+offering three modes: `padded` (the reference's fast path), `bucketed`
+(few compiled shapes, minimal padding — recovers no-padding accuracy), and
+`single` (one shape per sample; exact no-padding reference mode, slow).
+
+Usage:
+    python -m gsoc_wav2vec2_tpu.cli.evaluate --model_dir <dir> \
+        --data_dir LibriSpeech/test-clean --mode bucketed
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from ..data.loaders import LibriSpeechDataLoader, LibriSpeechDataLoaderArgs
+from ..evaluation import GreedyCTCEvaluator
+from ..models.modeling import Wav2Vec2ForCTC
+from ..utils.metrics import wer
+
+
+def _samples(loader: LibriSpeechDataLoader):
+    for speech, label in loader._raw_samples():
+        yield speech, loader.tokenizer.decode(label, group_tokens=False)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser("Greedy-CTC WER evaluation")
+    parser.add_argument("--model_dir", required=True, type=str)
+    parser.add_argument("--data_dir", required=True, type=str)
+    parser.add_argument("--mode", choices=["padded", "bucketed", "single"],
+                        default="bucketed")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--pad_to", type=int, default=246000)
+    parser.add_argument("--limit", type=int, default=0, help="cap sample count")
+    args = parser.parse_args()
+
+    model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
+    evaluator = GreedyCTCEvaluator(model.config, model.params)
+    loader = LibriSpeechDataLoader(LibriSpeechDataLoaderArgs(data_dir=args.data_dir))
+
+    def sample_iter():
+        for i, item in enumerate(_samples(loader)):
+            if args.limit and i >= args.limit:
+                return
+            yield item
+
+    start = time.time()
+    if args.mode == "padded":
+        score, n = evaluator.evaluate_padded(
+            sample_iter(), batch_size=args.batch_size, pad_to=args.pad_to
+        )
+    elif args.mode == "bucketed":
+        score, n = evaluator.evaluate_bucketed(
+            sample_iter(), batch_size=args.batch_size
+        )
+    else:  # single: exact no-padding mode, one compile per distinct length
+        refs, hyps = [], []
+        for audio, text in sample_iter():
+            hyps.extend(evaluator.predict_batch(audio[None, :]))
+            refs.append(text)
+        score, n = wer(refs, hyps), len(refs)
+    elapsed = time.time() - start
+
+    print(json.dumps({
+        "wer": round(score, 5),
+        "num_samples": n,
+        "mode": args.mode,
+        "seconds": round(elapsed, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

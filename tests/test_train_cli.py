@@ -1,0 +1,104 @@
+"""End-to-end training-CLI test: tiny model, synthetic LibriSpeech corpus,
+two stages, checkpoints, metrics JSONL, final save_pretrained — the whole
+`main.py`-equivalent path (reference §3.1 call stack) on an 8-device CPU
+mesh via subprocess.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from flac_encoder import encode_flac
+from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
+
+TEXTS = ["HELLO WORLD", "TINY MODEL", "TPU TRAINING", "FOUR SAMPLES"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    root = tmp_path_factory.mktemp("corpus")
+    chap = root / "1" / "1"
+    chap.mkdir(parents=True)
+    lines = []
+    for i, text in enumerate(TEXTS):
+        sig = np.clip(
+            2000 * np.sin(np.arange(6000) / 6.0) + rng.integers(-50, 50, 6000),
+            -32768, 32767,
+        ).astype(np.int64)
+        (chap / f"1-1-{i:04d}.flac").write_bytes(
+            encode_flac(sig, subframe_kind="fixed", order=2, rice_param=7)
+        )
+        lines.append(f"1-1-{i:04d} {text}")
+    (chap / "1-1.trans.txt").write_text("\n".join(lines))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    config = Wav2Vec2Config(
+        hidden_size=64,
+        num_heads=4,
+        num_layers=2,
+        intermediate_size=128,
+        filter_sizes=[32, 32],
+        kernal_sizes=[10, 3],
+        strides=[5, 2],
+    )
+    model = Wav2Vec2ForCTC(config, seed=0)
+    d = str(tmp_path_factory.mktemp("tiny_model"))
+    model.save_pretrained(d)
+    return d
+
+
+def test_train_cli_end_to_end(corpus, tiny_model_dir, tmp_path):
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # bypass the TPU-plugin sitecustomize
+    ckpt_dir = str(tmp_path / "ckpts")
+    log_dir = str(tmp_path / "logs")
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.train",
+            "--model_id", tiny_model_dir,
+            "--train_dir", corpus,
+            "--test_dir", corpus,
+            "--stage1_epochs", "1",
+            "--stage2_epochs", "1",
+            "--batch_size_per_device", "1",  # global batch = 1 * (8/2) = 4 samples
+            "--audio_maxlen", "6000",
+            "--labels_maxlen", "32",
+            "--logging_steps", "1",
+            "--compute_dtype", "float32",
+            "--model_axis", "2",
+            "--ckpt_dir", ckpt_dir,
+            "--log_dir", log_dir,
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "test loss:" in result.stdout
+
+    # metrics JSONL written with both stages
+    metrics = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    keys = {k for m in metrics for k in m}
+    assert "stage1/loss" in keys and "stage2/loss" in keys and "test_loss" in keys
+    losses = [m["stage1/loss"] for m in metrics if "stage1/loss" in m]
+    assert all(np.isfinite(l) for l in losses)
+
+    # per-stage orbax checkpoints exist
+    run_dirs = os.listdir(ckpt_dir)
+    assert len(run_dirs) == 1
+    stages = sorted(os.listdir(os.path.join(ckpt_dir, run_dirs[0])))
+    assert "stage1" in stages and "stage2" in stages and "final" in stages
+
+    # the saved final model loads back through the public API
+    final = os.path.join(ckpt_dir, run_dirs[0], "final")
+    reloaded = Wav2Vec2ForCTC.from_pretrained(final)
+    out = reloaded(np.zeros((1, 6000), np.float32))
+    assert out.shape[0] == 1 and out.shape[2] == reloaded.config.vocab_size
