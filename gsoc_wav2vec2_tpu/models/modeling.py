@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import mask_to_bias, mha_xla
+from ..ops.attention import mask_to_bias, mha
 from ..ops.basic import dense, dropout, gelu, group_norm, layer_norm, stochastic_depth
 from ..ops.conv import conv1d, init_weight_g, pos_conv_embed
 from ..ops.specaugment import apply_spec_augmentation
@@ -198,6 +198,7 @@ def transformer_layer_forward(
     *,
     training: bool,
     rngs: Optional[jax.Array],
+    attention_impl: str = "auto",
 ) -> jax.Array:
     """One encoder layer, pre-/post-norm selectable (reference `encoder.py:111-134`).
 
@@ -210,7 +211,7 @@ def transformer_layer_forward(
     residual = batch
     if prenorm:
         batch = layer_norm(batch, p["layer_norm"], config.layer_norm_eps)
-    batch = mha_xla(
+    batch = mha(
         batch,
         p["attention"],
         config.num_heads,
@@ -218,6 +219,7 @@ def transformer_layer_forward(
         dropout_rate=config.dropout,
         rng=rngs[0] if training else None,
         deterministic=deterministic,
+        impl=attention_impl,
     )
     batch = dropout(batch, config.dropout, rngs[1] if training else None, deterministic)
     batch = batch + residual
@@ -255,6 +257,7 @@ def encoder_forward(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    attention_impl: str = "auto",
 ) -> jax.Array:
     """Positional conv embed + N transformer layers via `lax.scan`.
 
@@ -293,7 +296,8 @@ def encoder_forward(
     def body(h, xs):
         layer_params, layer_rng = xs
         h = transformer_layer_forward(
-            h, layer_params, config, mask_bias, training=training, rngs=layer_rng
+            h, layer_params, config, mask_bias, training=training, rngs=layer_rng,
+            attention_impl=attention_impl,
         )
         return h, None
 
@@ -316,6 +320,7 @@ def wav2vec2_forward(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    attention_impl: str = "auto",
 ) -> jax.Array:
     """`Wav2Vec2Model.call` (reference `modeling.py:169-209`).
 
@@ -361,6 +366,7 @@ def wav2vec2_forward(
         training=training,
         rng=next_key() if training else None,
         remat=remat,
+        attention_impl=attention_impl,
     )
 
 
@@ -374,6 +380,7 @@ def wav2vec2_for_ctc_forward(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    attention_impl: str = "auto",
 ) -> jax.Array:
     """`Wav2Vec2ForCTC.call`: base model → dropout → LM head.
 
@@ -391,6 +398,7 @@ def wav2vec2_for_ctc_forward(
         rng=body_rng,
         compute_dtype=compute_dtype,
         remat=remat,
+        attention_impl=attention_impl,
     )
     x = dropout(x, config.dropout, head_rng, not training)
     logits = dense(x, params["lm_head"])

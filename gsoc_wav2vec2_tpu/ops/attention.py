@@ -63,6 +63,51 @@ def mha_xla(
     return dense(merge_heads(context), params["out_proj"])
 
 
+def mha(
+    x: jax.Array,
+    params: dict,
+    num_heads: int,
+    mask_bias: Optional[jax.Array] = None,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatch between the fused Pallas kernel and the XLA einsum path.
+
+    `impl`: "auto" (fused on TPU when shapes allow and attention-prob
+    dropout is inactive), "flash", or "xla".
+    """
+    if impl == "auto":
+        from .pallas.flash_attention import supports
+
+        l = x.shape[1]
+        head_dim = x.shape[-1] // num_heads
+        dropout_active = (not deterministic) and dropout_rate > 0.0
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and supports(l, head_dim, dropout_active)
+        )
+        impl = "flash" if use_flash else "xla"
+
+    if impl == "xla":
+        return mha_xla(
+            x, params, num_heads, mask_bias,
+            dropout_rate=dropout_rate, rng=rng, deterministic=deterministic,
+        )
+
+    from .pallas.flash_attention import flash_attention
+
+    head_size = x.shape[-1] // num_heads
+    q = split_heads(dense(x, params["q_proj"]), num_heads)
+    k = split_heads(dense(x, params["k_proj"]), num_heads)
+    v = split_heads(dense(x, params["v_proj"]), num_heads)
+    q = q * jnp.asarray(head_size ** -0.5, dtype=q.dtype)
+    context = flash_attention(q, k, v, mask_bias)
+    return dense(merge_heads(context), params["out_proj"])
+
+
 def mask_to_bias(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Boolean frame mask (B, L) -> additive bias (B, 1, 1, L).
 
