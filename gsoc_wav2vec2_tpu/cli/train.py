@@ -241,6 +241,9 @@ def evaluate_loss(config, params, loader, args: TrainingArgs) -> float:
 def main(args: TrainingArgs) -> None:
     np.random.seed(args.seed)
 
+    from ..parallel import multihost
+
+    multihost.initialize()  # no-op single-host; pod bootstrap otherwise
     mesh = make_mesh(model=args.model_axis)
     print(f"mesh: {dict(mesh.shape)}, devices: {jax.device_count()}")
 

@@ -169,15 +169,46 @@ def _rng_stream(rng: Optional[jax.Array]):
 
 
 def feature_encoder_forward(
-    params, config: Wav2Vec2Config, waveform: jax.Array, compute_dtype=jnp.float32
+    params,
+    config: Wav2Vec2Config,
+    waveform: jax.Array,
+    compute_dtype=jnp.float32,
+    *,
+    training: bool = False,
 ) -> jax.Array:
     """7× strided conv blocks over the raw waveform.
 
     (B, L_samples) -> (B, L_frames, 512).  Reference
     `modeling.py:188-190`, `feature_extractor.py:54-59`.
+
+    On TPU in bf16 inference the first two layers run as one fused Pallas
+    kernel (`ops/pallas/conv_frontend.py`): conv0's output is recomputed in
+    VMEM instead of round-tripping HBM four times through
+    GroupNorm/GELU/conv1.
     """
-    x = waveform[:, :, None].astype(compute_dtype)
-    for i, p in enumerate(params["conv_layers"]):
+    from ..ops.pallas import conv_frontend
+
+    start = 0
+    if (
+        jax.default_backend() == "tpu"
+        and compute_dtype == jnp.bfloat16
+        and conv_frontend.supports(config, training)
+    ):
+        p0, p1 = params["conv_layers"][0], params["conv_layers"][1]
+        x = conv_frontend.fused_conv01(
+            waveform,
+            p0["conv"]["kernel"],
+            p0["layer_norm"]["gamma"],
+            p0["layer_norm"]["beta"],
+            p1["conv"]["kernel"],
+            eps=1e-5,
+            gelu_approx=True,  # == ops.basic.gelu's bf16 path
+        )
+        start = 2
+    else:
+        x = waveform[:, :, None].astype(compute_dtype)
+
+    for i, p in enumerate(params["conv_layers"][start:], start=start):
         x = conv1d(
             x, p["conv"]["kernel"], p["conv"].get("bias"), stride=config.strides[i]
         )
@@ -335,7 +366,8 @@ def wav2vec2_forward(
     next_key = _rng_stream(rng)
 
     x = feature_encoder_forward(
-        params["feature_extractor"], config, batch, compute_dtype
+        params["feature_extractor"], config, batch, compute_dtype,
+        training=training,
     )
 
     fp = params["feature_projection"]

@@ -1,0 +1,73 @@
+"""Multi-host SPMD bootstrap.
+
+The reference connects to a TPU pod through
+`TPUClusterResolver(TPU_NAME)` + `experimental_connect_to_cluster` +
+`initialize_tpu_system` (`/root/reference/src/main.py:139-148`) and then
+relies on TPUStrategy.  The JAX equivalent is `jax.distributed.initialize`
+(per-host processes, ICI/DCN discovered automatically on TPU VMs) plus
+host-local data feeding via `jax.make_array_from_process_local_data`.
+
+Usage (one process per host, e.g. under `gcloud compute tpus tpu-vm ssh
+--worker=all`):
+
+    from gsoc_wav2vec2_tpu.parallel import multihost, make_mesh
+    multihost.initialize()                 # no-op on single-process runs
+    mesh = make_mesh(model=1)              # spans all hosts' devices
+    batch = multihost.host_local_batch_to_global(local_np_batch, mesh)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialise the JAX distributed runtime (idempotent, single-process
+    safe).
+
+    On Cloud TPU VMs all arguments are discovered from the metadata server;
+    elsewhere pass them explicitly or via JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID (honoured by jax itself).
+    """
+    if num_processes in (None, 1) and coordinator_address is None and (
+        "JAX_COORDINATOR_ADDRESS" not in os.environ
+        and "COORDINATOR_ADDRESS" not in os.environ
+        and not os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",")
+    ):
+        # single host: nothing to initialise
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialised
+        if "already" not in str(e).lower():
+            raise
+
+
+def host_local_batch_to_global(batch, mesh: Mesh):
+    """Assemble per-host numpy batches into one global data-sharded array.
+
+    Each process passes its local shard (global_batch / process_count rows);
+    the result is a jax.Array sharded over the ``data`` axis spanning all
+    hosts — the analog of the per-replica dataset TPUStrategy distributed.
+    """
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if isinstance(batch, dict):
+        return {
+            k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in batch.items()
+        }
+    return jax.make_array_from_process_local_data(sharding, batch)

@@ -1,0 +1,54 @@
+"""Fused conv front-end kernel parity vs the XLA reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsoc_wav2vec2_tpu.ops.basic import gelu, group_norm
+from gsoc_wav2vec2_tpu.ops.conv import conv1d
+from gsoc_wav2vec2_tpu.ops.pallas.conv_frontend import fused_conv01, supports
+
+
+def _reference(waveform, w0, gamma, beta, w1, gelu_approx=False):
+    x = waveform[:, :, None].astype(jnp.bfloat16)
+    x = conv1d(x, w0.astype(jnp.bfloat16), None, stride=5)
+    x = group_norm(x, {"gamma": gamma, "beta": beta}, groups=w0.shape[-1])
+    x = gelu(x, approximate=gelu_approx)
+    x = conv1d(x, w1.astype(jnp.bfloat16), None, stride=2)
+    return gelu(x, approximate=gelu_approx)
+
+
+@pytest.mark.parametrize("length", [26000, 24000])
+def test_fused_conv01_matches_xla(length):
+    c = 128
+    rng = jax.random.PRNGKey(0)
+    k = jax.random.split(rng, 5)
+    waveform = jax.random.normal(k[0], (2, length), jnp.float32)
+    w0 = jax.random.normal(k[1], (10, 1, c), jnp.float32) * 0.3
+    w1 = jax.random.normal(k[2], (3, c, c), jnp.float32) * 0.05
+    gamma = 1.0 + 0.1 * jax.random.normal(k[3], (c,), jnp.float32)
+    beta = 0.1 * jax.random.normal(k[4], (c,), jnp.float32)
+
+    want = np.asarray(_reference(waveform, w0, gamma, beta, w1)).astype(np.float32)
+    got = np.asarray(
+        fused_conv01(waveform, w0, gamma, beta, w1, interpret=True)
+    ).astype(np.float32)
+    assert got.shape == want.shape
+    # bf16 compute both sides; the kernel keeps f32 until the final cast so
+    # modest elementwise tolerance
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+    # tight agreement on the bulk
+    assert np.abs(got - want).mean() < 5e-3
+
+
+def test_supports_gate(monkeypatch):
+    from gsoc_wav2vec2_tpu.models.config import RobustWav2Vec2Config, Wav2Vec2Config
+
+    base = Wav2Vec2Config()
+    monkeypatch.setenv("W2V2_FUSED_CONV", "1")
+    assert supports(base, training=False)
+    assert not supports(base, training=True)
+    assert not supports(RobustWav2Vec2Config(), training=False)  # layer-norm fe
+    monkeypatch.delenv("W2V2_FUSED_CONV")
+    assert not supports(base, training=False)  # opt-in only (see docstring)
