@@ -320,5 +320,9 @@ def parse_args() -> TrainingArgs:
     return TrainingArgs(**vars(parser.parse_args()))
 
 
-if __name__ == "__main__":
+def cli_main() -> None:
     main(parse_args())
+
+
+if __name__ == "__main__":
+    cli_main()

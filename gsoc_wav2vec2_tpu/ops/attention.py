@@ -84,10 +84,9 @@ def mha(
 
         l = x.shape[1]
         head_dim = x.shape[-1] // num_heads
-        dropout_active = (not deterministic) and dropout_rate > 0.0
         use_flash = (
             jax.default_backend() == "tpu"
-            and supports(l, head_dim, dropout_active)
+            and supports(l, head_dim, training=not deterministic)
         )
         impl = "flash" if use_flash else "xla"
 
@@ -104,7 +103,15 @@ def mha(
     k = split_heads(dense(x, params["k_proj"]), num_heads)
     v = split_heads(dense(x, params["v_proj"]), num_heads)
     q = q * jnp.asarray(head_size ** -0.5, dtype=q.dtype)
-    context = flash_attention(q, k, v, mask_bias)
+    rate, seed = 0.0, 0
+    if not deterministic and dropout_rate > 0.0:
+        # attention-prob dropout runs inside the kernel; the mask is
+        # regenerated in the backward pass from this per-call seed
+        rate = dropout_rate
+        if rng is not None:
+            seed = jax.random.randint(rng, (), 0, 2**23, dtype=jnp.int32)
+    context = flash_attention(q, k, v, mask_bias, dropout_rate=rate,
+                              dropout_seed=seed)
     return dense(merge_heads(context), params["out_proj"])
 
 

@@ -1,21 +1,26 @@
-"""Fused (flash) self-attention Pallas kernel for the wav2vec2 encoder.
+"""Fused (flash) self-attention Pallas kernels for the wav2vec2 encoder.
 
 Why: at the reference's eval shape (246000 samples -> L=768 frames) the
 unfused attention materialises a (B, H, L, L) float32 score tensor in HBM —
 ~226 MB per layer at B=8/H=12, ~2.7 GB of round-trip traffic across 12
-layers, several ms of pure HBM time per forward on a v5e.  wav2vec2's
-sequences are short enough that a whole head's K/V tile fits in VMEM, so the
-kernel runs one (batch, head) per grid step and keeps scores entirely
-on-chip: S = QK^T -> row-softmax -> PV without ever leaving VMEM.  No
-K-blocking / online-softmax rescaling is needed at these lengths (L ≤ ~4k ⇒
-score tile ≤ 4k×4k×4B = 64 MB would NOT fit — so we block over Q only and
-keep K whole while L ≤ MAX_KV; beyond that the caller falls back to XLA).
+layers.  wav2vec2's sequences are short enough that a whole head's K/V tile
+fits in VMEM, so the kernels run one (batch, head) per grid step and keep
+scores entirely on-chip.  No online-softmax rescaling is needed at these
+lengths; beyond MAX_KV the caller falls back to XLA.
+
+Training support (custom VJP):
+  * forward also emits the per-row logsumexp; backward recomputes the
+    (L, L) probability tile in VMEM (s = qk^T + bias; p = exp(s - lse)) —
+    nothing quadratic ever reaches HBM in either direction;
+  * attention-prob dropout (reference `encoder.py:46`) runs INSIDE the
+    kernel from a counter-based hash of (seed, element index): the mask is
+    regenerated bit-identically in the backward pass, so the (B, H, L, L)
+    dropout mask never exists anywhere.
 
 Semantics match `ops/attention.py::mha_xla` (reference
 `/root/reference/src/wav2vec2/encoder.py:22-47`): q pre-scaled by
-`head_dim**-0.5` at the caller, additive mask bias on raw scores, softmax in
-float32.  Attention-prob dropout is NOT supported here — callers route to
-the XLA path when training with dropout > 0.
+`head_dim**-0.5` at the caller, additive key bias on raw scores, softmax in
+float32, probs cast to the compute dtype before PV.
 """
 
 from __future__ import annotations
@@ -28,105 +33,270 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Q is blocked; K/V stay whole per (batch, head) grid step.
 DEFAULT_Q_BLOCK = 256
-# beyond this K/V length the whole-K design would blow VMEM; callers fall
-# back to the XLA path (wav2vec2 frames: 246000 samples -> 768, 400000 -> 1249)
+# whole-K design: beyond this the (L, D) K/V tiles / (L, L) bwd tiles blow
+# VMEM (wav2vec2: 246000 samples -> 768 frames, 400000 -> 1249)
 MAX_KV = 4096
+MAX_KV_TRAIN = 1024  # backward holds ~4 (L, L) f32 tiles
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
-    """One (batch*head, q_block) grid step.
-
-    q_ref: (1, BQ, D); k_ref/v_ref: (1, L, D); bias_ref: (1, 1, L) additive
-    f32 bias (zeros when unmasked); out_ref: (1, BQ, D).
+def _dropout_mask(shape, rate: float, seed):
+    """Counter-based keep-mask: murmur3-style integer mix of (seed, element
+    index).  Stateless and layout-independent, so the forward and backward
+    kernels regenerate bit-identical masks — the hardware PRNG
+    (`pltpu.prng_random_bits`) does NOT guarantee that: its bit-to-element
+    mapping follows the vector layout Mosaic picks per kernel (observed as
+    a fwd/bwd mask mismatch in finite-difference tests).  Pure VPU integer
+    ops, ~7 instructions per element.
     """
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = rows * jnp.uint32(shape[1]) + cols
+    x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    threshold = jnp.uint32(int((1.0 - rate) * float(2**32 - 1)))
+    return x < threshold
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
+                *, dropout_rate: float):
+    i = pl.program_id(0)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
 
     s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, L)
-    s = s + bias_ref[0]  # (1, L) broadcasts over BQ
+    )
+    s = s + bias_ref[0]
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    # match mha_xla numerics: probs cast to the compute dtype before PV
-    p = (p / l).astype(v.dtype)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    p = (e / l).astype(v.dtype)
+
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(p.shape, dropout_rate, seed_ref[0] + i)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), jnp.zeros_like(p)).astype(
+            v.dtype
+        )
+
     out = jax.lax.dot_general(
-        p, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, dropout_rate: float):
+    i = pl.program_id(0)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias_ref[0]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # (L, L) f32
+
+    dpt = jax.lax.dot_general(  # dout @ v^T
+        do.astype(v.dtype), v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(p.shape, dropout_rate, seed_ref[0] + i)
+        scale = 1.0 / (1.0 - dropout_rate)
+        r = jnp.where(keep, p * scale, jnp.zeros_like(p))
+        dp = jnp.where(keep, dpt * scale, jnp.zeros_like(dpt))
+    else:
+        r = p
+        dp = dpt
+
+    # softmax jacobian: ds = p ⊙ (dp − Σ_k p⊙dp); with dropout the delta
+    # term is Σ_k r⊙dpt == Σ_k p⊙dp (both equal Σ dout⊙out per row)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
+
+    dv_ref[0] = jax.lax.dot_general(  # r^T @ dout
+        r.astype(v.dtype), do.astype(v.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dq_ref[0] = jax.lax.dot_general(  # ds @ k
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(  # ds^T @ q
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _flash_fwd(q, k, v, bias, seed, dropout_rate: float, q_block: int,
+               interpret: bool):
+    b, h, l, d = q.shape
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
+
+    # dropout masks must align between fwd (q-blocked) and bwd (whole-L):
+    # force one block per head when dropout is active
+    bq = l if dropout_rate > 0.0 else min(q_block, l)
+    while l % bq:
+        bq //= 2
+    grid = (b * h, l // bq)
+
+    flat = lambda x: x.reshape(b * h, l, d)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, dropout_rate=dropout_rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l, d), lambda i, j, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l, d), lambda i, j, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l), lambda i, j, *_, h=h: (i // h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bq), lambda i, j, *_: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, l), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * l * l * d,
+            bytes_accessed=4 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(seed, flat(q), flat(k), flat(v), bias.reshape(b, 1, l))
+    return out.reshape(b, h, l, d), lse.reshape(b, h, l)
+
+
+def _flash_bwd(q, k, v, bias, seed, lse, dout, dropout_rate: float,
+               interpret: bool):
+    b, h, l, d = q.shape
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
+    grid = (b * h,)
+    flat = lambda x: x.reshape(b * h, l, d)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, dropout_rate=dropout_rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l), lambda i, *_, h=h: (i // h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 3,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b * h, l, d), q.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * l * l * d,
+            bytes_accessed=7 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(seed, flat(q), flat(k), flat(v), bias.reshape(b, 1, l),
+      lse.reshape(b * h, 1, l), flat(dout))
+    unflat = lambda x: x.reshape(b, h, l, d)
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention_core(q, k, v, bias, seed_f, dropout_rate, q_block,
+                          interpret):
+    seed = seed_f.reshape(1).astype(jnp.int32)
+    out, _ = _flash_fwd(q, k, v, bias, seed, dropout_rate, q_block, interpret)
+    return out
+
+
+def _core_fwd(q, k, v, bias, seed_f, dropout_rate, q_block, interpret):
+    seed = seed_f.reshape(1).astype(jnp.int32)
+    out, lse = _flash_fwd(q, k, v, bias, seed, dropout_rate, q_block, interpret)
+    return out, (q, k, v, bias, seed_f, lse)
+
+
+def _core_bwd(dropout_rate, q_block, interpret, residuals, dout):
+    q, k, v, bias, seed_f, lse = residuals
+    seed = seed_f.reshape(1).astype(jnp.int32)
+    dq, dk, dv = _flash_bwd(
+        q, k, v, bias, seed, lse, dout, dropout_rate, interpret
+    )
+    # bias is a mask constant in this model family; seed is rng plumbing
+    return dq, dk, dv, jnp.zeros_like(bias), jnp.zeros_like(seed_f)
+
+
+_flash_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     bias: Optional[jax.Array] = None,
     *,
+    dropout_rate: float = 0.0,
+    dropout_seed: int = 0,
     q_block: int = DEFAULT_Q_BLOCK,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention: softmax(q @ k^T + bias) @ v.
+    """Fused attention: softmax(q @ k^T + bias) [-> prob dropout] @ v.
 
     Args:
       q, k, v: (B, H, L, D); q already scaled by `D**-0.5`.
-      bias: optional additive f32 bias broadcastable to (B, 1, 1, L) —
-        the `mask_to_bias` output; keys only (no per-query masking, which
-        wav2vec2 never needs).
-    Returns:
-      (B, H, L, D) in q.dtype.
+      bias: optional additive f32 bias broadcastable to (B, 1, 1, L)
+        (key mask only — all wav2vec2 needs).
+      dropout_rate / dropout_seed: attention-prob dropout, applied inside
+        the kernel from the TPU PRNG (seed may be a traced int32 scalar).
+    Differentiable via custom VJP (q, k, v).
     """
     b, h, l, d = q.shape
     if bias is None:
         bias = jnp.zeros((b, 1, 1, l), jnp.float32)
-    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
-
-    bq = min(q_block, l)
-    while l % bq:
-        bq //= 2  # l is always a multiple of some power of two block
-    grid = (b * h, l // bq)
-
-    flat_q = q.reshape(b * h, l, d)
-    flat_k = k.reshape(b * h, l, d)
-    flat_v = v.reshape(b * h, l, d)
-
-    out = pl.pallas_call(
-        _flash_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, l),
-                lambda i, j, h=h: (i // h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * h * l * l * d,
-            bytes_accessed=(3 * b * h * l * d + b * h * l * d) * q.dtype.itemsize,
-            transcendentals=b * h * l * l,
-        ),
-        interpret=interpret,
-    )(flat_q, flat_k, flat_v, bias.reshape(b, 1, l))
-
-    return out.reshape(b, h, l, d)
+    # f32 carries seeds up to 2^24 exactly; callers draw from that range
+    seed_f = jnp.asarray(dropout_seed, jnp.float32)
+    return _flash_attention_core(
+        q, k, v, bias, seed_f,
+        float(dropout_rate), int(q_block), interpret,
+    )
 
 
-def supports(l: int, d: int, dropout_active: bool) -> bool:
-    """Whether the fused kernel can serve this shape/config."""
-    return (not dropout_active) and l <= MAX_KV and l % 128 == 0 and d % 64 == 0
+def supports(l: int, d: int, *, training: bool = False) -> bool:
+    """Whether the fused kernel can serve this shape/mode."""
+    limit = MAX_KV_TRAIN if training else MAX_KV
+    return l <= limit and l % 128 == 0 and d % 64 == 0
