@@ -1,7 +1,7 @@
 """Headline benchmark: batched CTC inference throughput on one TPU chip.
 
 Metric: real-time factor (RTF) — seconds of 16 kHz audio transcribed per
-wall-clock second, Wav2Vec2ForCTC base (95M params), bf16, batch 8 at the
+wall-clock second, Wav2Vec2ForCTC base (95M params), bf16, batch 16 at the
 reference's fixed 246000-sample eval shape (`/root/reference/src/main.py:48-51`,
 `export2hub.py:27-31`).
 
@@ -21,11 +21,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 8
+BATCH = 16
 AUDIO_LEN = 246000  # 15.375 s at 16 kHz
 SAMPLE_RATE = 16000
 WARMUP = 3
-ITERS = 20
+ITERS = 15
 BASELINE_RTF = 3.125 / 0.84  # reference ONNX export, final_report.md:62-67
 
 
@@ -65,7 +65,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "inference_rtf_base_bf16_b8",
+                "metric": "inference_rtf_base_bf16_b16",
                 "value": round(rtf, 2),
                 "unit": "audio_sec/sec",
                 "vs_baseline": round(rtf / BASELINE_RTF, 2),
