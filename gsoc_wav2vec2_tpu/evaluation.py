@@ -130,7 +130,9 @@ class GreedyCTCEvaluator:
                 speech[i, : len(s)] = s[:pad_to]
             hyps.extend(self.predict_batch(speech, np.minimum(lengths, pad_to)))
             refs.extend(texts)
-            batch.clear(), lengths.clear(), texts.clear()
+            batch.clear()
+            lengths.clear()
+            texts.clear()
 
         for audio, text in samples:
             batch.append(audio)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -18,7 +18,7 @@ the reference exactly: SUM over the global batch divided by
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
