@@ -216,25 +216,40 @@ def run_stage(
     return state.params
 
 
+_EVAL_LOSS_CACHE: dict = {}
+
+
+def _eval_loss_fn(config, compute_dtype_name: str):
+    """Cached jitted eval-loss step — a fresh closure per call would
+    recompile every validation pass (one ~40 s compile per epoch)."""
+    import json
+    from dataclasses import asdict
+
+    key = (json.dumps(asdict(config), sort_keys=True), compute_dtype_name)
+    if key not in _EVAL_LOSS_CACHE:
+        from ..models.modeling import wav2vec2_for_ctc_forward
+        from ..ops.ctc import ctc_loss_fn
+
+        @jax.jit
+        def loss_fn(params, batch):
+            mask = batch["attention_mask"] if config.is_robust else None
+            logits = wav2vec2_for_ctc_forward(
+                params, config, batch["speech"], mask, training=False,
+                compute_dtype=getattr(jnp, compute_dtype_name),
+            )
+            b, t = logits.shape[0], logits.shape[1]
+            lengths = jnp.full((b,), t, jnp.int32)
+            per_sample = ctc_loss_fn(logits, batch["labels"], lengths, config.pad_id)
+            return jnp.sum(per_sample) / b
+
+        _EVAL_LOSS_CACHE[key] = loss_fn
+    return _EVAL_LOSS_CACHE[key]
+
+
 def evaluate_loss(config, params, loader, args: TrainingArgs) -> float:
     """Mean per-batch CTC loss over a loader (reference `model.evaluate`,
     `main.py:258`)."""
-    from ..ops.ctc import ctc_loss_fn
-
-    @jax.jit
-    def loss_fn(params, batch):
-        from ..models.modeling import wav2vec2_for_ctc_forward
-
-        mask = batch["attention_mask"] if config.is_robust else None
-        logits = wav2vec2_for_ctc_forward(
-            params, config, batch["speech"], mask, training=False,
-            compute_dtype=getattr(jnp, args.compute_dtype),
-        )
-        b, t = logits.shape[0], logits.shape[1]
-        lengths = jnp.full((b,), t, jnp.int32)
-        per_sample = ctc_loss_fn(logits, batch["labels"], lengths, config.pad_id)
-        return jnp.sum(per_sample) / b
-
+    loss_fn = _eval_loss_fn(config, args.compute_dtype)
     losses = [
         float(loss_fn(params, {k: jnp.asarray(v) for k, v in batch.items()}))
         for batch in loader(drop_remainder=True)

@@ -5,6 +5,7 @@ from .state import (
     stage2_lr_schedule,
     trainable_mask,
 )
+from .checkpoint import CheckpointManager
 from .trainer import make_eval_step, make_train_step
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "create_train_state",
     "stage2_lr_schedule",
     "trainable_mask",
+    "CheckpointManager",
     "make_train_step",
     "make_eval_step",
 ]
