@@ -296,15 +296,35 @@ def flash_attention(
     b, h, l, d = q.shape
     if bias is None:
         bias = jnp.zeros((b, 1, 1, l), jnp.float32)
+
+    # arbitrary lengths: pad L up to a lane multiple with -inf key bias
+    # (padded queries produce garbage rows that are sliced away; padding
+    # sits OUTSIDE the custom VJP so autodiff handles the pad/slice)
+    lp = -(-l // 128) * 128
+    if lp != l:
+        pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        bias = jnp.pad(
+            bias, [(0, 0), (0, 0), (0, 0), (0, lp - l)],
+            constant_values=-1e9,
+        )
+
     # f32 carries seeds up to 2^24 exactly; callers draw from that range
     seed_f = jnp.asarray(dropout_seed, jnp.float32)
-    return _flash_attention_core(
+    out = _flash_attention_core(
         q, k, v, bias, seed_f,
         float(dropout_rate), int(q_block), interpret,
     )
+    return out[:, :, :l, :] if lp != l else out
 
 
 def supports(l: int, d: int, *, training: bool = False) -> bool:
-    """Whether the fused kernel can serve this shape/mode."""
+    """Whether the fused kernel can serve this shape/mode.
+
+    Any length up to the VMEM cap works (non-multiples of 128 are padded
+    with -inf key bias internally).
+    """
     limit = MAX_KV_TRAIN if training else MAX_KV
-    return l <= limit and l % 128 == 0 and d % 64 == 0
+    return l <= limit and d % 64 == 0

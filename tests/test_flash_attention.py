@@ -196,6 +196,23 @@ def test_mha_flash_impl_matches_xla_impl():
 def test_supports_gate():
     assert supports(768, 64, training=False)
     assert supports(768, 64, training=True)
-    assert not supports(1249, 64, training=False)  # not 128-multiple
+    assert supports(1249, 64, training=False)      # padded internally
     assert not supports(8192, 64, training=False)  # too long for VMEM
     assert not supports(2048, 64, training=True)   # bwd (L,L) tiles too big
+
+
+def test_flash_odd_length_padding():
+    """Lengths that are not lane multiples (e.g. 400000 samples -> 1249
+    frames) run through internal -inf-bias padding; outputs and gradients
+    must match the unpadded einsum reference on the real rows."""
+    l = 200  # not a multiple of 128
+    q, k, v = _qkv(jax.random.PRNGKey(11), b=1, h=2, l=l)
+    got = flash_attention(q, k, v, interpret=True)
+    want = _reference(q, k, v)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    w = jax.random.normal(jax.random.PRNGKey(12), q.shape, jnp.float32)
+    g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v, interpret=True) * w))(q)
+    g_ref = jax.grad(lambda q: jnp.sum(_reference(q, k, v) * w))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
