@@ -6,31 +6,33 @@ The wav2vec2-base front-end opens with
 (reference `/root/reference/src/wav2vec2/feature_extractor.py:6-59`).
 
 XLA executes this as four HBM round-trips over the (B, 49199, 512)
-intermediate (~400 MB each way at the 246000-sample eval shape) — measured
-4.8 ms of a 19.9 ms forward on v5e.  Two observations make it collapse:
+intermediate (~400 MB each way at the 246000-sample eval shape).  Two
+observations make it collapse:
 
 1. **conv0 is linear and FLOP-trivial** (C_in = 1), so its output never
    needs to exist in HBM.  GroupNorm statistics are computed EXACTLY on the
-   host-graph side from sufficient statistics of the sample windows:
-   per-channel mean is `(Σ_t window_t) @ W0 / T`, and per-channel sum of
-   squares is `diag(W0ᵀ G W0)` with the tiny Gram matrix
-   `G = Σ_t window_t window_tᵀ` (10×10) — ~13 MB of reads instead of a
-   400 MB materialise + re-read.
-2. conv1 (k=3, s=2) decomposes into three stride-phases: output row r needs
-   conv0 rows 2r, 2r+1, 2r+2, i.e. three INDEPENDENT window streams
-   A/B/C with `A[r] = x[10r:10r+10]`, `B[r] = x[10r+5:10r+15]`,
-   `C[r] = x[10r+10:10r+20]`.  The kernel streams (16, TILE) tiles of each
-   phase, recomputes the three conv0 row sets on the MXU, normalises +
-   GELUs in VMEM, and accumulates `Σ_j gelu(norm(phase_j @ W0)) @ W1[j]` —
-   no halo exchange, no concatenation, no conv0 output in HBM, ever.
+   XLA side from sufficient statistics of the sample windows: per-channel
+   mean is `(Σ_t window_t) @ W0 / T`, and the per-channel sum of squares is
+   `diag(W0ᵀ G W0)` with the tiny Gram matrix `G = Σ_t window_t window_tᵀ`
+   (10×10) — ~26 MB of reads instead of a 400 MB materialise + re-read.
+2. conv0's stride-5 window stream splits into two stride-10 phases that are
+   PURE RESHAPES of the waveform: `A[r] = x[10r:10r+10]` (even conv0 rows)
+   and `B[r] = x[10r+5:10r+15]` (odd rows).  conv1 (k=3, s=2) output row r
+   then needs conv0 rows 2r, 2r+1, 2r+2 = A[r], B[r], A[r+1] — the kernel
+   computes the A and B row tiles on the MXU (plus an 8-row halo block of A
+   for the +1 shift), normalises + GELUs in VMEM, and accumulates
+   `Σ gelu(norm(·)) @ W1[j]`.  No (B, T, C) intermediate ever reaches HBM.
 
-HBM traffic: window phases ~19 MB + conv1 output write ~200 MB (vs ~1.6 GB).
-GroupNorm statistics are population mean/variance in f32, matching
-`ops/basic.group_norm`.
+Earlier iterations of this kernel (see git history) lost to XLA because of
+three-phase recompute (1.5x the skinny-matmul work) and an XLA-side
+mask+pad prep that cost more than it saved; this version reuses the A phase
+for the shifted rows, keeps the window dim at its natural 10 lanes, and
+replaces masking with exact contiguous-slice statistics.
 
-Inference-path only (no custom VJP yet) — training keeps the XLA path,
-where the conv stack is frozen by the reference recipe anyway
-(`main.py:236-237`).
+Inference-path only (no custom VJP) — training keeps the XLA path, where
+the conv stack is frozen by the reference recipe anyway (`main.py:236-237`).
+Enabled on TPU via `supports()`; set W2V2_FUSED_CONV=0 to force the XLA
+path.
 """
 
 from __future__ import annotations
@@ -43,32 +45,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 512  # conv1 output rows per grid step
+HALO = 8    # A-phase rows fetched from the next tile (only row 0 is used)
 
 
-def _kernel(a_ref, b_ref, c_ref, stats_ref, w0_ref, w1_ref, out_ref,
+def _kernel(a_ref, b_ref, a2_ref, stats_ref, w0_ref, w1_ref, out_ref,
             *, gelu_approx: bool):
     """Grid: (B, T1p // TILE).
 
-    a/b/c_ref: (1, TILE, 16) window phases (one conv0 row set per conv1 row).
-    stats_ref: (1, 2, C) f32 — [shift, scale] with the GroupNorm affine
-      folded in: norm(y) == y * scale + shift.
-    w0_ref: (16, C); w1_ref: (3, C, C); out_ref: (1, TILE, C).
+    a/b_ref: (1, TILE, 10) stride-10 window phases (A: even conv0 rows,
+      B: odd).  a2_ref: (1, HALO, 10) — the next tile's first A rows.
+    stats_ref: (1, 2, C) f32 — [shift, scale], GroupNorm affine folded:
+      norm(y) == y * scale + shift.
+    w0_ref: (10, C); w1_ref: (3, C, C); out_ref: (1, TILE, C).
     """
     shift = stats_ref[0, 0, :][None, :]
     scale = stats_ref[0, 1, :][None, :]
 
-    def branch(phase_ref, w1_slice, acc):
-        y0 = jnp.dot(
-            phase_ref[0], w0_ref[:], preferred_element_type=jnp.float32
-        )  # (TILE, C)
-        y0 = y0 * scale + shift  # GroupNorm with gamma/beta pre-folded
-        y0 = jax.nn.gelu(y0, approximate=gelu_approx).astype(w1_slice.dtype)
-        y1 = jnp.dot(y0, w1_slice, preferred_element_type=jnp.float32)
-        return acc + y1 if acc is not None else y1
+    def conv0_norm_gelu(windows):
+        y = jnp.dot(windows, w0_ref[:], preferred_element_type=jnp.float32)
+        y = y * scale + shift
+        return jax.nn.gelu(y, approximate=gelu_approx)  # f32
 
-    y1 = branch(a_ref, w1_ref[0], None)
-    y1 = branch(b_ref, w1_ref[1], y1)
-    y1 = branch(c_ref, w1_ref[2], y1)
+    ya32 = conv0_norm_gelu(a_ref[0])          # conv0 rows 2r   (TILE, C) f32
+    yb = conv0_norm_gelu(b_ref[0]).astype(w1_ref.dtype)   # rows 2r+1
+    yh32 = conv0_norm_gelu(a2_ref[0])         # rows 2r+2 halo  (HALO, C)
+    # rows 2r+2 = A[r+1]: ya rotated up one row with the last row replaced
+    # by the halo's first.  roll+select in f32 (Mosaic rejects concatenating
+    # sublane-offset slices, and tpu.dynamic_rotate only handles 32-bit).
+    rows = jax.lax.broadcasted_iota(jnp.int32, ya32.shape, 0)
+    yc = jnp.where(
+        rows == ya32.shape[0] - 1,
+        jnp.broadcast_to(yh32[:1], ya32.shape),
+        pltpu.roll(ya32, shift=ya32.shape[0] - 1, axis=0),  # circular -1
+    ).astype(w1_ref.dtype)
+    ya = ya32.astype(w1_ref.dtype)
+
+    y1 = jnp.dot(ya, w1_ref[0], preferred_element_type=jnp.float32)
+    y1 += jnp.dot(yb, w1_ref[1], preferred_element_type=jnp.float32)
+    y1 += jnp.dot(yc, w1_ref[2], preferred_element_type=jnp.float32)
     y1 = jax.nn.gelu(y1, approximate=gelu_approx)
     out_ref[0] = y1.astype(out_ref.dtype)
 
@@ -101,88 +115,84 @@ def fused_conv01(
     n_tiles = -(-t1 // TILE)
     t1p = n_tiles * TILE
 
-    # --- window phases: pure reshapes, no strided slicing ----------------
-    pad_len = 10 * t1p + 20
+    # --- window phases: pure reshapes of the zero-padded waveform ---------
+    pad_len = 10 * (t1p + HALO) + 15
     x = jnp.pad(waveform.astype(jnp.bfloat16), ((0, 0), (0, pad_len - l)))
-    r = jnp.arange(t1p)
+    pa = x[:, : 10 * (t1p + HALO)].reshape(b, t1p + HALO, 10)
+    pb = x[:, 5 : 5 + 10 * t1p].reshape(b, t1p, 10)
 
-    def phase(offset, valid_rows):
-        # phase[r] = x[10r + offset : 10r + offset + 10] — contiguous groups
-        ph = x[:, offset : offset + 10 * t1p].reshape(b, t1p, 10)
-        ph = jnp.where((r < valid_rows)[None, :, None], ph, 0)
-        return jnp.pad(ph, ((0, 0), (0, 0), (0, 6)))  # window dim -> 16 lanes
-
-    # conv0 row indices: A -> 2r, B -> 2r+1, C -> 2r+2 (valid while < T0)
-    pa = phase(0, (t0 + 1) // 2)
-    pb = phase(5, t0 // 2)
-    pc = phase(10, (t0 - 1) // 2)
-
-    # --- exact GroupNorm statistics from sufficient stats ----------------
+    # --- exact GroupNorm statistics from sufficient stats ------------------
+    # valid conv0 rows: A rows [0, ceil(t0/2)), B rows [0, t0//2); the
+    # padded-region rows are excluded by contiguous slicing (no mask pass)
+    na, nb = (t0 + 1) // 2, t0 // 2
     w0f = w0.reshape(10, c).astype(jnp.float32)
     row_sum = (
-        jnp.sum(pa, axis=1, dtype=jnp.float32)
-        + jnp.sum(pb, axis=1, dtype=jnp.float32)
-    )[:, :10]  # (B, 10): Σ_t window_t over ALL t0 rows (A: even, B: odd)
+        jnp.sum(pa[:, :na], axis=1, dtype=jnp.float32)
+        + jnp.sum(pb[:, :nb], axis=1, dtype=jnp.float32)
+    )  # (B, 10)
     mean = (row_sum @ w0f) / t0  # (B, C)
-    ab = jnp.concatenate([pa, pb], axis=1)  # (B, 2T, 16) bf16
     gram = jnp.einsum(
-        "btj,btk->bjk", ab[..., :10], ab[..., :10],
+        "btj,btk->bjk", pa[:, :na], pa[:, :na],
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "btj,btk->bjk", pb[:, :nb], pb[:, :nb],
         preferred_element_type=jnp.float32,
     )  # (B, 10, 10)
     sumsq = jnp.einsum("bjk,jc,kc->bc", gram, w0f, w0f)
     var = sumsq / t0 - mean * mean
     scale = jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)[None, :]
     shift = beta.astype(jnp.float32)[None, :] - mean * scale
-    # affine folded: norm(y) == y * scale + shift
     stats = jnp.stack([shift, scale], axis=1)  # (B, 2, C)
-
-    w0p = jnp.pad(w0.reshape(10, c), ((0, 6), (0, 0))).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
         functools.partial(_kernel, gelu_approx=gelu_approx),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, 16), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, TILE, 10), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, 16), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, TILE, 10), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, 16), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
+            # halo: next tile's first A rows, at HALO-row block granularity
+            pl.BlockSpec(
+                (1, HALO, 10),
+                lambda i, t: (i, (t + 1) * (TILE // HALO), 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, 2, c), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, c, c), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE, c), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t1p, c), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t1p * (3 * 16 * c + 3 * c * c),
-            bytes_accessed=b * (3 * 16 * t1p * 2 + t1p * c * 2),
-            transcendentals=4 * b * t1p * c,
+            flops=2 * b * t1p * (2 * 10 * c + 3 * c * c),
+            bytes_accessed=b * (2 * 10 * t1p * 2 + t1p * c * 2),
+            transcendentals=3 * b * t1p * c,
         ),
         interpret=interpret,
-    )(pa, pb, pc, stats, w0p, w1.astype(jnp.bfloat16))
+    )(
+        pa,
+        pb,
+        pa,  # halo reads come from the A phase array itself
+        stats,
+        w0.reshape(10, c).astype(jnp.bfloat16),
+        w1.astype(jnp.bfloat16),
+    )
     return out[:, :t1, :]
 
 
 def supports(config, training: bool) -> bool:
-    """Base-family geometry only; inference path only (no VJP).
-
-    Currently opt-in (W2V2_FUSED_CONV=1): on v5e the measured total
-    (2.95 ms XLA-side phase prep + 4.30 ms kernel) does not yet beat XLA's
-    6.46 ms for the whole 7-layer stack — the stride-phase recompute does
-    1.5x the skinny conv0 matmul work and the prep's masking/padding passes
-    erase the HBM savings.  Kept (tested, bit-accurate: max diff 7e-4 vs
-    the XLA path on TPU) as the base for a future tuned version; the
-    win is in reducing skinny-dot work via interleaved even/odd row
-    computation and folding the masking into the kernel.
-    """
+    """Base-family geometry only; inference path only (no VJP)."""
     import os
 
     return (
-        os.environ.get("W2V2_FUSED_CONV") == "1"
+        os.environ.get("W2V2_FUSED_CONV", "1") != "0"
         and not training
         and config.feature_extractor_norm_type == "group"
         and not config.conv_bias

@@ -46,9 +46,8 @@ def test_supports_gate(monkeypatch):
     from gsoc_wav2vec2_tpu.models.config import RobustWav2Vec2Config, Wav2Vec2Config
 
     base = Wav2Vec2Config()
-    monkeypatch.setenv("W2V2_FUSED_CONV", "1")
-    assert supports(base, training=False)
-    assert not supports(base, training=True)
+    assert supports(base, training=False)      # on by default
+    assert not supports(base, training=True)   # no VJP: inference only
     assert not supports(RobustWav2Vec2Config(), training=False)  # layer-norm fe
-    monkeypatch.delenv("W2V2_FUSED_CONV")
-    assert not supports(base, training=False)  # opt-in only (see docstring)
+    monkeypatch.setenv("W2V2_FUSED_CONV", "0")
+    assert not supports(base, training=False)  # opt-out honoured
