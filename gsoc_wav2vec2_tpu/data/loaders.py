@@ -288,17 +288,24 @@ class LibriSpeechDataLoader(CommonDataLoader):
             pairs = pairs[self.shard_index :: self.shard_count]
         return pairs
 
+    # files decoded per native thread-pool call
+    _DECODE_CHUNK = 16
+
     def _raw_samples(self):
-        for path, text in self._matched_files():
-            audio, rate = native_io.decode_flac(path)
-            if rate != self.required_sample_rate:
-                raise ValueError(
-                    f"sample rate (={rate}) of your files must be "
-                    f"{self.required_sample_rate}"
-                )
-            speech = np.asarray(self.processor(audio), SPEECH_DTYPE)
-            label = np.asarray(self.tokenizer(text), LABEL_DTYPE)
-            yield speech, label
+        pairs = self._matched_files()
+        for start in range(0, len(pairs), self._DECODE_CHUNK):
+            chunk = pairs[start : start + self._DECODE_CHUNK]
+            # C++ thread pool decodes the chunk concurrently (GIL released)
+            decoded = native_io.decode_flac_batch([p for p, _ in chunk])
+            for (path, text), (audio, rate) in zip(chunk, decoded):
+                if rate != self.required_sample_rate:
+                    raise ValueError(
+                        f"sample rate (={rate}) of your files must be "
+                        f"{self.required_sample_rate}"
+                    )
+                speech = np.asarray(self.processor(audio), SPEECH_DTYPE)
+                label = np.asarray(self.tokenizer(text), LABEL_DTYPE)
+                yield speech, label
 
     def __len__(self):
         if self._num_samples is None:

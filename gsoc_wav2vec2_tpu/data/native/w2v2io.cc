@@ -766,3 +766,38 @@ int64_t w2v2_decode_flac(const char* path, float** out, int* sample_rate,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parallel batch decode — the data-plane "runtime" piece: a std::thread pool
+// decodes many FLAC files concurrently (ctypes releases the GIL around the
+// call, so Python-side prefetch threads keep feeding the device meanwhile).
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+extern "C" {
+
+// Decodes `n` FLAC files with up to `num_threads` workers.
+// outs[i]/lens[i]/rates[i] receive per-file results; lens[i] == -1 marks a
+// failed file.  Buffers are malloc'd; caller frees each via w2v2_free.
+void w2v2_decode_flac_batch(const char** paths, int64_t n, int num_threads,
+                            float** outs, int64_t* lens, int* rates) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int channels = 0;
+      lens[i] = w2v2_decode_flac(paths[i], &outs[i], &rates[i], &channels);
+    }
+  };
+  std::vector<std::thread> pool;
+  int spawn = (int)std::min<int64_t>(num_threads, n);
+  pool.reserve(spawn);
+  for (int t = 0; t < spawn; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

@@ -80,6 +80,16 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int),
             ]
         lib.w2v2_free.argtypes = [ctypes.c_void_p]
+
+        lib.w2v2_decode_flac_batch.restype = None
+        lib.w2v2_decode_flac_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
         return _lib
 
@@ -182,6 +192,38 @@ def decode_flac(path: str) -> Tuple[np.ndarray, int]:
     Same scaling as `soundfile.read` applies to PCM16 FLAC.
     """
     return _decode("w2v2_decode_flac", path)
+
+
+def decode_flac_batch(
+    paths, num_threads: int = 8
+) -> list:
+    """Decode many FLAC files concurrently in the native thread pool.
+
+    Returns a list of (float32 audio, sample_rate) in input order; a failed
+    file raises OSError naming it.  ctypes releases the GIL for the whole
+    call, so Python-side prefetch threads run alongside.
+    """
+    lib = get_lib()
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (ctypes.POINTER(ctypes.c_float) * n)()
+    lens = (ctypes.c_int64 * n)()
+    rates = (ctypes.c_int * n)()
+    lib.w2v2_decode_flac_batch(c_paths, n, num_threads, outs, lens, rates)
+    results = []
+    try:
+        for i in range(n):
+            if lens[i] < 0:
+                raise OSError(f"failed to decode {paths[i]}")
+            audio = np.ctypeslib.as_array(outs[i], (lens[i],)).copy()
+            results.append((audio, rates[i]))
+    finally:
+        for i in range(n):
+            if lens[i] >= 0 and outs[i]:
+                lib.w2v2_free(outs[i])
+    return results
 
 
 def read_sound(path: str) -> Tuple[np.ndarray, int]:

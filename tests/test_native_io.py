@@ -190,3 +190,31 @@ def test_flac_rejects_garbage(tmp_path):
         f.write(b"not a flac stream at all")
     with pytest.raises(OSError):
         native_io.decode_flac(path)
+
+
+def test_flac_batch_decode_parallel(tmp_path):
+    """Threaded batch decode matches per-file decode, preserves order, and
+    reports failures by name."""
+    from gsoc_wav2vec2_tpu.data.native_io import decode_flac, decode_flac_batch
+
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(12):
+        sig = _int16_signal(rng, 3000 + 257 * i)
+        p = str(tmp_path / f"s{i}.flac")
+        with open(p, "wb") as f:
+            f.write(encode_flac(sig, subframe_kind="fixed", order=2, rice_param=7))
+        paths.append(p)
+
+    batch = decode_flac_batch(paths, num_threads=4)
+    assert len(batch) == len(paths)
+    for p, (audio, rate) in zip(paths, batch):
+        ref_audio, ref_rate = decode_flac(p)
+        np.testing.assert_array_equal(audio, ref_audio)
+        assert rate == ref_rate
+
+    bad = str(tmp_path / "bad.flac")
+    with open(bad, "wb") as f:
+        f.write(b"junk")
+    with pytest.raises(OSError, match="bad.flac"):
+        decode_flac_batch(paths[:2] + [bad], num_threads=4)
