@@ -185,7 +185,9 @@ def run_stage(
     for epoch in range(epochs):
         epoch_start = time.time()
         losses = []
+        epoch_batches = 0
         for batch in train_loader(seed=args.seed + epoch, drop_remainder=True):
+            epoch_batches += 1
             device_batch = {
                 "speech": jax.device_put(batch["speech"], b_shard),
                 "labels": jax.device_put(batch["labels"], b_shard),
@@ -202,6 +204,13 @@ def run_stage(
                      "epoch": epoch},
                     step=step_count,
                 )
+        if epoch_batches == 0:
+            raise RuntimeError(
+                f"stage {stage} epoch {epoch}: training loader produced no "
+                f"batches (fewer samples than the global batch of "
+                f"{global_batch}, or no matched audio/transcript pairs) — "
+                "refusing to train silently on nothing"
+            )
         if val_loader is not None:
             val_loss = evaluate_loss(config, state.params, val_loader, args)
             logger.log({f"stage{stage}/val_loss": val_loss, "epoch": epoch},

@@ -49,7 +49,11 @@ def find_files(data_dir: str, suffix: str) -> List[str]:
 
 
 def _prefetch(iterator, depth: int = 2):
-    """Run `iterator` in a daemon thread, keeping `depth` items ready."""
+    """Run `iterator` in a daemon thread, keeping `depth` items ready.
+
+    Worker exceptions re-raise in the consumer — a swallowed producer error
+    must not masquerade as an empty dataset.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
     _SENTINEL = object()
 
@@ -57,14 +61,17 @@ def _prefetch(iterator, depth: int = 2):
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is _SENTINEL:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -261,13 +268,18 @@ class LibriSpeechDataLoader(CommonDataLoader):
 
     def _collect_transcripts(self) -> dict:
         """`file_id -> text` from all `.txt` files (reference
-        `data_utils.py:236-260`)."""
+        `data_utils.py:236-260`).
+
+        Intentional divergence: the reference requires `len(parts) > 2`,
+        silently dropping single-word utterances; we accept any line with a
+        file id and at least one word.
+        """
         texts = {}
         for path in find_files(self.data_dir, ".txt"):
             with open(path) as f:
                 for line in f.read().split("\n"):
                     parts = line.split()
-                    if len(parts) > 2:
+                    if len(parts) >= 2:
                         texts[parts[0]] = " ".join(parts[1:])
         return texts
 

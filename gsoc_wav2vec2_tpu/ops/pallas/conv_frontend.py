@@ -139,7 +139,11 @@ def fused_conv01(
         preferred_element_type=jnp.float32,
     )  # (B, 10, 10)
     sumsq = jnp.einsum("bjk,jc,kc->bc", gram, w0f, w0f)
-    var = sumsq / t0 - mean * mean
+    # E[y^2] - mean^2 cancels catastrophically in f32 when a channel's mean
+    # dominates its variance (periodic/DC-heavy audio): the difference can
+    # come out slightly negative and rsqrt then produces NaN.  Clamp to 0 —
+    # eps dominates in exactly that regime, matching group_norm semantics.
+    var = jnp.maximum(sumsq / t0 - mean * mean, 0.0)
     scale = jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)[None, :]
     shift = beta.astype(jnp.float32)[None, :] - mean * scale
     stats = jnp.stack([shift, scale], axis=1)  # (B, 2, C)

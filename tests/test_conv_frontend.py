@@ -51,3 +51,28 @@ def test_supports_gate(monkeypatch):
     assert not supports(RobustWav2Vec2Config(), training=False)  # layer-norm fe
     monkeypatch.setenv("W2V2_FUSED_CONV", "0")
     assert not supports(base, training=False)  # opt-out honoured
+
+
+def test_fused_conv01_periodic_dc_signal():
+    """Periodic / DC-offset audio makes E[y^2] - mean^2 cancel
+    catastrophically in f32 (observed as NaN on real sine-wave fixtures);
+    the variance clamp must keep outputs finite and matching XLA."""
+    c = 128
+    rng = jax.random.PRNGKey(7)
+    k = jax.random.split(rng, 4)
+    t = jnp.arange(26000, dtype=jnp.float32)
+    waveform = jnp.stack([
+        jnp.sin(t / 9.0) * 1.5 + 0.7,                 # periodic + DC
+        jnp.sign(jnp.sin(t / 40.0)) * 0.9,            # square-ish
+    ])
+    w0 = jax.random.normal(k[0], (10, 1, c), jnp.float32) * 0.3
+    w1 = jax.random.normal(k[1], (3, c, c), jnp.float32) * 0.05
+    gamma = 1.0 + 0.1 * jax.random.normal(k[2], (c,), jnp.float32)
+    beta = 0.1 * jax.random.normal(k[3], (c,), jnp.float32)
+
+    got = np.asarray(
+        fused_conv01(waveform, w0, gamma, beta, w1, interpret=True)
+    ).astype(np.float32)
+    assert np.isfinite(got).all()
+    want = np.asarray(_reference(waveform, w0, gamma, beta, w1)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.06, rtol=0.06)
