@@ -38,15 +38,15 @@ import numpy as np
 from ..data.loaders import LibriSpeechDataLoader, LibriSpeechDataLoaderArgs
 from ..models.config import Wav2Vec2Config
 from ..models.modeling import Wav2Vec2ForCTC
-from ..parallel import batch_sharding, make_mesh, replicated, shard_params
+from ..parallel import make_mesh, multihost, replicated, shard_params
 from ..training import (
     TrainState,
     create_optimizer,
     make_train_step,
-    stage2_lr_schedule,
     trainable_mask,
 )
 from ..training.checkpoint import CheckpointManager
+from ..training.state import set_learning_rate
 from ..utils.logging import MetricLogger
 
 
@@ -86,6 +86,11 @@ class TrainingArgs:
     ckpt_dir: str = "checkpoints"
     log_dir: str = "logs"
     wandb_project: Optional[str] = None
+    # path of a previous run's experiment dir (…/experiment-<id>); each
+    # stage restores its latest Orbax TrainState and continues from the
+    # first incomplete epoch — resume-exact, unlike the reference's
+    # weights-only reload (`training_utils.py:32-45`)
+    resume: Optional[str] = None
 
     def __post_init__(self):
         # env-var deployment hooks, as in the reference (`main.py:24-27`)
@@ -104,14 +109,29 @@ class TrainingArgs:
             setattr(self, name, expanded)
 
 
+def _global_batch(args: TrainingArgs) -> int:
+    return args.batch_size_per_device * max(jax.device_count() // args.model_axis, 1)
+
+
 def _loader(args: TrainingArgs, tfrecords, data_dir, drop_remainder=True):
     if not tfrecords and not data_dir:
         return None
+    # each host loads only its slice of the global batch; the trainer
+    # reassembles slices into one global array via
+    # `multihost.host_local_batch_to_global` — loading the full global batch
+    # per host would decode process_count× redundantly and then silently use
+    # only the addressable 1/process_count of it
+    global_batch = _global_batch(args)
+    if global_batch % jax.process_count() != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{jax.process_count()} processes"
+        )
     largs = LibriSpeechDataLoaderArgs(
         from_tfrecords=bool(tfrecords),
         tfrecords=tfrecords or None,
         data_dir=data_dir,
-        batch_size=args.batch_size_per_device * max(jax.device_count() // args.model_axis, 1),
+        batch_size=global_batch // jax.process_count(),
         audio_maxlen=args.audio_maxlen,
         labels_maxlen=args.labels_maxlen,
     )
@@ -138,7 +158,6 @@ def run_stage(
     train_loader,
     val_loader,
     logger: MetricLogger,
-    steps_per_epoch_hint: Optional[int] = None,
     epochs: Optional[int] = None,
 ):
     """One fine-tuning stage; returns the trained params."""
@@ -148,26 +167,63 @@ def run_stage(
     if epochs <= 0 or train_loader is None:
         return params
 
-    global_batch = args.batch_size_per_device * max(
-        jax.device_count() // args.model_axis, 1
-    )
+    global_batch = _global_batch(args)
     if stage == 1:
         # backbone frozen: only lm_head trains (reference `main.py:210`)
         mask = trainable_mask(params, ("wav2vec2",))
-        lr = args.stage1_lr
+        lr0 = args.stage1_lr
     else:
         # conv front-end frozen (reference `main.py:236-237`)
         mask = trainable_mask(params, ("feature_extractor",))
-        transition = (steps_per_epoch_hint or 1000) * args.transition_epoch
-        lr = stage2_lr_schedule(args.stage2_lr1, args.stage2_lr2, transition)
-    tx = create_optimizer(lr, mask)
+        lr0 = args.stage2_lr1
+    # dynamic LR so stage 2 can drop 1e-4 -> 5e-5 at the *actual* epoch
+    # boundary (reference `training_utils.py:24-31`: lr1 while
+    # epoch <= transition, lr2 after) without recompiling the step
+    tx = create_optimizer(lr0, mask, dynamic_lr=True)
+
+    def stage_lr(epoch: int) -> float:
+        if stage == 1:
+            return args.stage1_lr
+        return args.stage2_lr1 if epoch <= args.transition_epoch else args.stage2_lr2
 
     params = shard_params(params, mesh)
+    # optimizer leaves (moments, step counters, injected hyperparams) can
+    # come out of init committed to a single device; pin every leaf that is
+    # not already mesh-wide to a replicated mesh sharding so (a) the jitted
+    # step sees one consistent device set and (b) Orbax restore — which
+    # commits to exactly the shardings of this template — reproduces a state
+    # the step accepts
+    repl = replicated(mesh)
+    mesh_devices = set(np.asarray(mesh.devices).flat)
+
+    def _mesh_wide(x):
+        s = getattr(x, "sharding", None)
+        if s is not None and getattr(s, "device_set", None) == mesh_devices:
+            return x
+        if hasattr(x, "shape"):
+            return jax.device_put(x, repl)
+        return x
+
     state = TrainState(
-        step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+        step=jax.device_put(jnp.zeros((), jnp.int32), repl),
         params=params,
-        opt_state=jax.jit(tx.init)(params),
+        opt_state=jax.tree.map(_mesh_wide, jax.jit(tx.init)(params)),
     )
+    ckpt = CheckpointManager(os.path.join(args.ckpt_dir, f"stage{stage}"))
+    # checkpoints are keyed by completed-epoch count, so resume knows exactly
+    # where to pick the data stream back up; the optimizer step lives inside
+    # the restored TrainState
+    start_epoch = 0
+    if args.resume is not None:
+        last = ckpt.latest_step()
+        if last is not None:
+            state = ckpt.restore(state)
+            start_epoch = int(last)
+            print(f"stage {stage}: resumed epoch {start_epoch} from {args.resume}")
+    if start_epoch >= epochs:
+        ckpt.close()
+        return state.params
+
     step_fn = make_train_step(
         config,
         tx,
@@ -177,33 +233,43 @@ def run_stage(
         compute_dtype=getattr(jnp, args.compute_dtype),
         remat=args.remat,
     )
-    ckpt = CheckpointManager(os.path.join(args.ckpt_dir, f"stage{stage}"))
-    b_shard = batch_sharding(mesh)
     rng = jax.device_put(jax.random.PRNGKey(args.seed + stage), replicated(mesh))
 
-    step_count = 0
-    for epoch in range(epochs):
+    step_count = int(jax.device_get(state.step))
+    interrupted = False
+    for epoch in range(start_epoch, epochs):
+        lr = stage_lr(epoch)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         epoch_start = time.time()
-        losses = []
         epoch_batches = 0
-        for batch in train_loader(seed=args.seed + epoch, drop_remainder=True):
-            epoch_batches += 1
-            device_batch = {
-                "speech": jax.device_put(batch["speech"], b_shard),
-                "labels": jax.device_put(batch["labels"], b_shard),
-                "attention_mask": jax.device_put(batch["attention_mask"], b_shard),
-            }
-            state, metrics = step_fn(state, device_batch, rng)
-            step_count += 1
-            if step_count % args.logging_steps == 0:
-                loss = float(metrics["loss"])
-                losses.append(loss)
-                logger.log(
-                    {f"stage{stage}/loss": loss,
-                     f"stage{stage}/grad_norm": float(metrics["grad_norm"]),
-                     "epoch": epoch},
-                    step=step_count,
+        try:
+            batches = multihost.lockstep_batches(
+                train_loader(seed=args.seed + epoch, drop_remainder=True)
+            )
+            for batch in batches:
+                epoch_batches += 1
+                device_batch = multihost.host_local_batch_to_global(
+                    {k: batch[k] for k in ("speech", "labels", "attention_mask")},
+                    mesh,
                 )
+                state, metrics = step_fn(state, device_batch, rng)
+                step_count += 1
+                if step_count % args.logging_steps == 0:
+                    logger.log(
+                        {f"stage{stage}/loss": float(metrics["loss"]),
+                         f"stage{stage}/grad_norm": float(metrics["grad_norm"]),
+                         f"stage{stage}/lr": lr,
+                         "epoch": epoch},
+                        step=step_count,
+                    )
+        except KeyboardInterrupt:
+            # graceful per-stage skip, as in the reference
+            # (`main.py:225-226,252-253`): keep the progress made so far and
+            # fall through to the next stage / final save
+            print(f"stage {stage} interrupted at epoch {epoch} — moving on")
+            interrupted = True
+        if interrupted:
+            break
         if epoch_batches == 0:
             raise RuntimeError(
                 f"stage {stage} epoch {epoch}: training loader produced no "
@@ -212,10 +278,10 @@ def run_stage(
                 "refusing to train silently on nothing"
             )
         if val_loader is not None:
-            val_loss = evaluate_loss(config, state.params, val_loader, args)
+            val_loss = evaluate_loss(config, state.params, val_loader, args, mesh)
             logger.log({f"stage{stage}/val_loss": val_loss, "epoch": epoch},
                        step=step_count)
-        ckpt.save(step_count, state)
+        ckpt.save(epoch + 1, state)
         logger.log(
             {f"stage{stage}/epoch_time": time.time() - epoch_start, "epoch": epoch},
             step=step_count,
@@ -255,21 +321,30 @@ def _eval_loss_fn(config, compute_dtype_name: str):
     return _EVAL_LOSS_CACHE[key]
 
 
-def evaluate_loss(config, params, loader, args: TrainingArgs) -> float:
+def evaluate_loss(config, params, loader, args: TrainingArgs, mesh=None) -> float:
     """Mean per-batch CTC loss over a loader (reference `model.evaluate`,
-    `main.py:258`)."""
+    `main.py:258`).
+
+    With a mesh, each host's local batch slice is assembled into one global
+    array before the jitted loss — the SPMD program then reduces over the
+    full global batch and every host reports the *same* loss (per-host
+    `jnp.asarray` batches would each score only their local shard)."""
     loss_fn = _eval_loss_fn(config, args.compute_dtype)
+
+    def put(batch):
+        if mesh is not None:
+            return multihost.host_local_batch_to_global(batch, mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     losses = [
-        float(loss_fn(params, {k: jnp.asarray(v) for k, v in batch.items()}))
-        for batch in loader(drop_remainder=True)
+        float(loss_fn(params, put(batch)))
+        for batch in multihost.lockstep_batches(loader(drop_remainder=True))
     ]
     return float(np.mean(losses)) if losses else float("nan")
 
 
 def main(args: TrainingArgs) -> None:
     np.random.seed(args.seed)
-
-    from ..parallel import multihost
 
     multihost.initialize()  # no-op single-host; pod bootstrap otherwise
     mesh = make_mesh(model=args.model_axis)
@@ -285,7 +360,14 @@ def main(args: TrainingArgs) -> None:
         raise ValueError("no training data: pass --train_tfrecords or --train_dir")
 
     logger = MetricLogger(args.log_dir, project=args.wandb_project, config=asdict(args))
-    run_dir = os.path.join(args.ckpt_dir, f"experiment-{logger.run_id}")
+    if args.resume is not None:
+        # continue inside the previous run's experiment dir
+        run_dir = args.resume
+    else:
+        run_dir = os.path.join(
+            args.ckpt_dir,
+            f"experiment-{multihost.sync_run_id(logger.run_id)}",
+        )
     args.ckpt_dir = run_dir
 
     for stage in (1, 2):
@@ -296,7 +378,7 @@ def main(args: TrainingArgs) -> None:
         )
 
     if test_loader is not None:
-        test_loss = evaluate_loss(config, params, test_loader, args)
+        test_loss = evaluate_loss(config, params, test_loader, args, mesh)
         logger.log({"test_loss": test_loss})
         print(f"test loss: {test_loss:.4f}")
 
@@ -341,6 +423,11 @@ def parse_args() -> TrainingArgs:
     parser.add_argument("--ckpt_dir", type=str, default="checkpoints")
     parser.add_argument("--log_dir", type=str, default="logs")
     parser.add_argument("--wandb_project", type=str, default=None)
+    parser.add_argument(
+        "--resume", type=str, default=None, metavar="RUN_DIR",
+        help="experiment dir of a previous run; each stage restores its "
+             "latest full TrainState and continues",
+    )
     return TrainingArgs(**vars(parser.parse_args()))
 
 

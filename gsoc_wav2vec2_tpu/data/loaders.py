@@ -52,27 +52,43 @@ def _prefetch(iterator, depth: int = 2):
     """Run `iterator` in a daemon thread, keeping `depth` items ready.
 
     Worker exceptions re-raise in the consumer — a swallowed producer error
-    must not masquerade as an empty dataset.
+    must not masquerade as an empty dataset.  When the consumer abandons the
+    generator early (e.g. `--limit` evaluation), the `stop` event unblocks
+    the producer's `q.put` so the thread, file handles, and buffered batches
+    are released instead of pinned for the process lifetime.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     _SENTINEL = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    getattr(iterator, "close", lambda: None)()
+                    return
             q.put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            if not stop.is_set():
+                q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 @dataclass

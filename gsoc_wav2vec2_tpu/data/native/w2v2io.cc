@@ -579,6 +579,9 @@ struct Decoder {
       int precision = (int)br.bits(4) + 1;
       if (precision == 16) return false;  // invalid
       int shift = (int)br.signed_bits(5);
+      // spec requires a non-negative quantization shift; a negative value is
+      // a malformed stream — reject rather than hit UB on `pred >> shift`
+      if (shift < 0) return false;
       std::vector<int64_t> coefs(order);
       for (int i = 0; i < order; i++) coefs[i] = br.signed_bits(precision);
       if (!decode_residual(br, blocksize, order, out)) return false;

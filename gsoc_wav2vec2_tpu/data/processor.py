@@ -55,14 +55,17 @@ class Wav2Vec2Processor:
             self.unk_token = "<unk>"
             self.unk_id = self.token_to_id_mapping[self.unk_token]
 
-            self.dimiliter_token = "|"
-            self.dimiliter_id = self.token_to_id_mapping[self.dimiliter_token]
+            self.delimiter_token = "|"
+            self.delimiter_id = self.token_to_id_mapping[self.delimiter_token]
 
             special_tokens = ["<pad>"]
             self.special_ids = [self.token_to_id_mapping[k] for k in special_tokens]
 
     def get_vocab(self) -> dict:
-        if self.vocab_path is not None and os.path.isfile(self.vocab_path):
+        if self.vocab_path is not None:
+            # fail loudly on a typo'd path — silently falling back to the
+            # embedded vocab would train/decode with the wrong symbol table
+            # (the reference also failed loudly, `processor.py:36-50`)
             with open(self.vocab_path, "r") as f:
                 return json.load(f)
         return dict(VOCAB)
@@ -94,7 +97,7 @@ class Wav2Vec2Processor:
         if skip_special_tokens:
             input_ids = [k for k in input_ids if k not in self.special_ids]
         tokens = [self.id_to_token_mapping.get(k, self.unk_token) for k in input_ids]
-        tokens = [k if k != self.dimiliter_token else " " for k in tokens]
+        tokens = [k if k != self.delimiter_token else " " for k in tokens]
         return "".join(tokens).strip()
 
     def _tokenize(self, string: str) -> List[str]:
@@ -102,7 +105,7 @@ class Wav2Vec2Processor:
         # (reference `processor.py:91-94`)
         string = re.sub("-", " ", string)
         string = re.sub("[^A-Z' ]", "", string.upper())
-        return list(string.replace(" ", self.dimiliter_token))
+        return list(string.replace(" ", self.delimiter_token))
 
     def _normalize(self, x):
         """Per-sample zero-mean unit-variance over the time axis.

@@ -57,6 +57,52 @@ def initialize(
             raise
 
 
+def sync_run_id(run_id: str, max_len: int = 64) -> str:
+    """Every process adopts process 0's run id (checkpoint dirs must agree
+    across hosts — the reference got this from host-0's wandb id,
+    `main.py:272-274`).  Single-process: identity."""
+    if jax.process_count() == 1:
+        return run_id
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    raw = run_id.encode()[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    synced = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(synced)).rstrip(b"\x00").decode()
+
+
+def lockstep_batches(iterator):
+    """Yield from a per-host batch iterator while EVERY process still has a
+    batch.
+
+    Per-host shards can differ by one batch (uneven sample counts); under
+    SPMD a host entering a collective alone deadlocks the pod.  One tiny
+    all-gather of a have-a-batch flag per step keeps hosts in lockstep —
+    the equivalent of tf.data's global `drop_remainder` the reference got
+    from `strategy.distribute_datasets_from_function`.  Single-process:
+    zero-overhead passthrough.
+    """
+    if jax.process_count() == 1:
+        yield from iterator
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    it = iter(iterator)
+    while True:
+        try:
+            batch = next(it)
+            have = 1
+        except StopIteration:
+            batch, have = None, 0
+        flags = multihost_utils.process_allgather(np.asarray(have))
+        if int(np.min(flags)) == 0:
+            return
+        yield batch
+
+
 def host_local_batch_to_global(batch, mesh: Mesh):
     """Assemble per-host numpy batches into one global data-sharded array.
 

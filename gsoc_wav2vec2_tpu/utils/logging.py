@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from typing import Optional
 
 
@@ -27,12 +28,16 @@ class MetricLogger:
                 self._wandb = wandb.init(project=project, config=config)
             except Exception:
                 self._wandb = None
+        # the reference keyed checkpoint dirs on the wandb run id precisely
+        # so successive runs never collide (`main.py:272-274`); without wandb
+        # a timestamp+nonce id provides the same guarantee
+        self._local_id = time.strftime("%Y%m%d-%H%M%S") + "-" + uuid.uuid4().hex[:6]
 
     @property
     def run_id(self) -> str:
         if self._wandb is not None:
             return self._wandb.id
-        return "local"
+        return self._local_id
 
     def log(self, metrics: dict, step: Optional[int] = None) -> None:
         record = {"ts": time.time(), **metrics}

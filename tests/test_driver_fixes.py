@@ -1,0 +1,113 @@
+"""Unit coverage for the round-2 driver fixes: dynamic learning rate,
+multi-host lockstep/sync helpers, device probes, unique run ids, prefetch
+abandonment, and loud missing-vocab failure.
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_set_learning_rate_changes_update_magnitude():
+    from gsoc_wav2vec2_tpu.training import TrainState, create_optimizer, trainable_mask
+    from gsoc_wav2vec2_tpu.training.state import get_learning_rate, set_learning_rate
+
+    params = {"a": {"w": jnp.ones((4,))}, "head": {"w": jnp.ones((4,))}}
+    mask = trainable_mask(params, ("a",))  # freeze subtree "a"
+    tx = create_optimizer(1e-2, mask, dynamic_lr=True)
+    opt_state = tx.init(params)
+    assert get_learning_rate(opt_state) == pytest.approx(1e-2)
+
+    grads = jax.tree.map(jnp.ones_like, params)
+    up1, opt_state = tx.update(grads, opt_state, params)
+    # Adam first step moves by ~lr regardless of grad scale
+    assert float(jnp.abs(up1["head"]["w"][0])) == pytest.approx(1e-2, rel=1e-3)
+    assert float(jnp.abs(up1["a"]["w"][0])) == 0.0  # frozen
+
+    opt_state = set_learning_rate(opt_state, 5e-3)
+    assert get_learning_rate(opt_state) == pytest.approx(5e-3)
+    up2, opt_state = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(up2["head"]["w"][0])) == pytest.approx(5e-3, rel=1e-3)
+
+
+def test_set_learning_rate_inside_jitted_step_no_structure_change():
+    """set_learning_rate must return a state the already-jitted step accepts
+    (same pytree structure, shapes, dtypes)."""
+    import optax
+
+    from gsoc_wav2vec2_tpu.training import create_optimizer
+    from gsoc_wav2vec2_tpu.training.state import set_learning_rate
+
+    params = {"w": jnp.ones((3,))}
+    tx = create_optimizer(1e-3, dynamic_lr=True)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    params, opt_state = step(params, opt_state)
+    new_state = set_learning_rate(opt_state, 1e-4)
+    assert jax.tree_util.tree_structure(new_state) == jax.tree_util.tree_structure(opt_state)
+    params, _ = step(params, new_state)  # must not fail or re-trace-error
+    assert np.all(np.isfinite(np.asarray(params["w"])))
+
+
+def test_lockstep_and_sync_run_id_single_process_passthrough():
+    from gsoc_wav2vec2_tpu.parallel import multihost
+
+    items = [1, 2, 3]
+    assert list(multihost.lockstep_batches(iter(items))) == items
+    assert multihost.sync_run_id("my-run-42") == "my-run-42"
+
+
+def test_device_probes_cpu():
+    from gsoc_wav2vec2_tpu.utils import is_gpu_available, is_tpu_available
+
+    # conftest forces the CPU backend
+    assert is_tpu_available() is False
+    assert is_gpu_available() is False
+
+
+def test_metric_logger_unique_run_ids(tmp_path):
+    from gsoc_wav2vec2_tpu.utils import MetricLogger
+
+    a = MetricLogger(str(tmp_path / "a"))
+    b = MetricLogger(str(tmp_path / "b"))
+    assert a.run_id != "local" and a.run_id != b.run_id
+    a.finish(), b.finish()
+
+
+def test_prefetch_producer_stops_when_consumer_abandons():
+    from gsoc_wav2vec2_tpu.data.loaders import _prefetch
+
+    produced = []
+    done = threading.Event()
+
+    def source():
+        try:
+            for i in range(10_000):
+                produced.append(i)
+                yield i
+        finally:
+            done.set()
+
+    gen = _prefetch(source(), depth=2)
+    next(gen)
+    gen.close()  # consumer walks away
+    # producer must unblock from its full queue and exit
+    assert done.wait(timeout=5.0), "producer thread still alive after close()"
+    assert len(produced) < 100  # it did not run the source dry
+
+
+def test_processor_missing_vocab_path_fails_loudly(tmp_path):
+    from gsoc_wav2vec2_tpu.data.processor import Wav2Vec2Processor
+
+    with pytest.raises(OSError):
+        Wav2Vec2Processor(is_tokenizer=True, vocab_path=str(tmp_path / "nope.json"))

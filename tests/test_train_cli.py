@@ -9,6 +9,7 @@ import os
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -55,11 +56,24 @@ def tiny_model_dir(tmp_path_factory):
     return d
 
 
-def test_train_cli_end_to_end(corpus, tiny_model_dir, tmp_path):
+def _cli_env():
     env = dict(os.environ, PYTHONPATH="/root/repo",
                JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
     env.pop("PALLAS_AXON_POOL_IPS", None)  # bypass the TPU-plugin sitecustomize
+    return env
+
+
+def _run_train(args, env, timeout=900):
+    return subprocess.run(
+        [sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.train", *args],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=timeout,
+    )
+
+
+def test_train_cli_end_to_end(corpus, tiny_model_dir, tmp_path):
+    env = _cli_env()
     ckpt_dir = str(tmp_path / "ckpts")
     log_dir = str(tmp_path / "logs")
     result = subprocess.run(
@@ -102,3 +116,70 @@ def test_train_cli_end_to_end(corpus, tiny_model_dir, tmp_path):
     reloaded = Wav2Vec2ForCTC.from_pretrained(final)
     out = reloaded(np.zeros((1, 6000), np.float32))
     assert out.shape[0] == 1 and out.shape[2] == reloaded.config.vocab_size
+
+
+def test_train_cli_resume_bit_exact(corpus, tiny_model_dir, tmp_path):
+    """Preemption recovery: 1 epoch + `--resume` to 2 must equal a straight
+    2-epoch run bit-for-bit (Orbax restores step, params, and Adam moments;
+    the per-epoch data order and fold_in(step) RNG are both deterministic)."""
+    env = _cli_env()
+
+    def run(tag, extra):
+        ckpt_dir = str(tmp_path / f"ckpts_{tag}")
+        r = _run_train(
+            [
+                "--model_id", tiny_model_dir,
+                "--train_dir", corpus,
+                "--stage1_epochs", "2",
+                "--stage2_epochs", "1",
+                "--transition_epoch", "0",  # lr2 from stage-2 epoch 1 onward
+                "--batch_size_per_device", "1",
+                "--model_axis", "2",  # global batch = 4 = corpus size
+                "--audio_maxlen", "6000",
+                "--labels_maxlen", "32",
+                "--compute_dtype", "float32",
+                "--ckpt_dir", ckpt_dir,
+                "--log_dir", str(tmp_path / f"logs_{tag}"),
+                *extra,
+            ],
+            env,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        runs = os.listdir(ckpt_dir)
+        assert len(runs) == 1
+        return r, os.path.join(ckpt_dir, runs[0])
+
+    _, straight_dir = run("straight", [])
+
+    # "preempted" run: stage 1 stops after epoch 1 (no final save matters)
+    _, resumed_dir = run("resumed", ["--stage1_epochs", "1", "--stage2_epochs", "0"])
+    # continue it to the full recipe
+    r2 = _run_train(
+        [
+            "--model_id", tiny_model_dir,
+            "--train_dir", corpus,
+            "--stage1_epochs", "2",
+            "--stage2_epochs", "1",
+            "--transition_epoch", "0",
+            "--batch_size_per_device", "1",
+            "--model_axis", "2",
+            "--audio_maxlen", "6000",
+            "--labels_maxlen", "32",
+            "--compute_dtype", "float32",
+            "--log_dir", str(tmp_path / "logs_resumed2"),
+            "--resume", resumed_dir,
+        ],
+        env,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "stage 1: resumed epoch 1" in r2.stdout, r2.stdout[-2000:]
+
+    a = Wav2Vec2ForCTC.from_pretrained(os.path.join(straight_dir, "final"))
+    b = Wav2Vec2ForCTC.from_pretrained(os.path.join(resumed_dir, "final"))
+    flat_a = jax.tree_util.tree_leaves_with_path(a.params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b.params))
+    assert flat_a and len(flat_a) == len(flat_b)
+    for path, leaf_a in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf_a), np.asarray(flat_b[path]), err_msg=str(path)
+        )
