@@ -18,6 +18,8 @@ import argparse
 import json
 import time
 
+import numpy as np
+
 from ..data.loaders import LibriSpeechDataLoader, LibriSpeechDataLoaderArgs
 from ..evaluation import GreedyCTCEvaluator
 from ..models.modeling import Wav2Vec2ForCTC
@@ -38,6 +40,13 @@ def main() -> None:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--pad_to", type=int, default=246000)
     parser.add_argument("--limit", type=int, default=0, help="cap sample count")
+    parser.add_argument(
+        "--round_to", type=int, default=1600,
+        help="single mode: round lengths up to this multiple (samples) to "
+             "bound XLA compiles — test-clean has ~2600 distinct lengths, "
+             "one compile each at 0; 1600 ≈ 0.1 s of padding caps it at "
+             "~220 shapes (padding frames are dropped before decode)",
+    )
     args = parser.parse_args()
 
     model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
@@ -59,10 +68,18 @@ def main() -> None:
         score, n = evaluator.evaluate_bucketed(
             sample_iter(), batch_size=args.batch_size
         )
-    else:  # single: exact no-padding mode, one compile per distinct length
+    else:  # single: the reference's batch-1 no-padding mode (WER_3 notebook)
         refs, hyps = [], []
         for audio, text in sample_iter():
-            hyps.extend(evaluator.predict_batch(audio[None, :]))
+            true_len = len(audio)
+            if args.round_to > 1:
+                padded = -(-true_len // args.round_to) * args.round_to
+                audio = np.pad(audio, (0, padded - true_len))
+            hyps.extend(
+                evaluator.predict_batch(
+                    audio[None, :], np.asarray([true_len], np.int64)
+                )
+            )
             refs.append(text)
         score, n = wer(refs, hyps), len(refs)
     elapsed = time.time() - start

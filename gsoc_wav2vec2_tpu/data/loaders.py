@@ -39,7 +39,12 @@ LABEL_DTYPE = np.int32
 
 def find_files(data_dir: str, suffix: str) -> List[str]:
     """Recursively collect files ending in `suffix` (reference
-    `data_utils.py:80-91`), sorted for determinism."""
+    `data_utils.py:80-91`), sorted for determinism.  Remote (`scheme://`)
+    directories walk through fsspec."""
+    from . import remote
+
+    if remote.is_remote_path(data_dir):
+        return remote.find_files_remote(data_dir, suffix)
     found = []
     for root, _dirs, files in os.walk(data_dir):
         for f in files:
@@ -279,8 +284,10 @@ class LibriSpeechDataLoader(CommonDataLoader):
 
     @staticmethod
     def _tfrecord_samples(files):
+        from . import remote
+
         for path in files:
-            yield from native_io.read_tfrecords(path)
+            yield from remote.read_tfrecords_any(path)
 
     def _collect_transcripts(self) -> dict:
         """`file_id -> text` from all `.txt` files (reference
@@ -290,9 +297,11 @@ class LibriSpeechDataLoader(CommonDataLoader):
         silently dropping single-word utterances; we accept any line with a
         file id and at least one word.
         """
+        from . import remote
+
         texts = {}
         for path in find_files(self.data_dir, ".txt"):
-            with open(path) as f:
+            with remote.open_text(path) as f:
                 for line in f.read().split("\n"):
                     parts = line.split()
                     if len(parts) >= 2:
@@ -320,11 +329,20 @@ class LibriSpeechDataLoader(CommonDataLoader):
     _DECODE_CHUNK = 16
 
     def _raw_samples(self):
+        from . import remote
+
         pairs = self._matched_files()
         for start in range(0, len(pairs), self._DECODE_CHUNK):
             chunk = pairs[start : start + self._DECODE_CHUNK]
-            # C++ thread pool decodes the chunk concurrently (GIL released)
-            decoded = native_io.decode_flac_batch([p for p, _ in chunk])
+            if chunk and remote.is_remote_path(chunk[0][0]):
+                # remote objects: fetch bytes, decode in-memory
+                decoded = [
+                    native_io.decode_flac_bytes(remote.fetch_bytes(p), name=p)
+                    for p, _ in chunk
+                ]
+            else:
+                # C++ thread pool decodes the chunk concurrently (GIL released)
+                decoded = native_io.decode_flac_batch([p for p, _ in chunk])
             for (path, text), (audio, rate) in zip(chunk, decoded):
                 if rate != self.required_sample_rate:
                     raise ValueError(

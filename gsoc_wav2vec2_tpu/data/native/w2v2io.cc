@@ -336,6 +336,15 @@ void* w2v2_reader_open(const char* path) {
   return new TFRecordReader{f, {}, {}};
 }
 
+// TFRecord reader over an in-memory buffer (the remote-storage path: the
+// Python side fetches gs://... bytes via fsspec and parses them here).
+// The caller's buffer must outlive the reader; callers pass len >= 1.
+void* w2v2_reader_open_buffer(const void* data, int64_t len) {
+  FILE* f = fmemopen(const_cast<void*>(data), (size_t)len, "rb");
+  if (!f) return nullptr;
+  return new TFRecordReader{f, {}, {}};
+}
+
 // Reads the next record.  Returns 1 on success, 0 on EOF, -1 on corruption.
 // Pointers remain valid until the next call / close.
 int w2v2_reader_next(void* handle, const float** speech, int64_t* slen,
@@ -395,17 +404,11 @@ extern "C" {
 
 // Returns number of samples (per channel) on success, -1 on failure.
 // *out is malloc'd float32, caller frees via w2v2_free.
-int64_t w2v2_decode_wav(const char* path, float** out, int* sample_rate,
-                        int* channels) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  std::vector<uint8_t> buf;
-  fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  buf.resize(sz);
-  if (fread(buf.data(), 1, sz, f) != (size_t)sz) { fclose(f); return -1; }
-  fclose(f);
+int64_t w2v2_decode_wav_buffer(const void* data_in, int64_t len, float** out,
+                               int* sample_rate, int* channels) {
+  const uint8_t* bytes = (const uint8_t*)data_in;
+  int64_t sz = len;
+  std::vector<uint8_t> buf(bytes, bytes + (sz > 0 ? sz : 0));
   if (sz < 44 || memcmp(buf.data(), "RIFF", 4) || memcmp(buf.data() + 8, "WAVE", 4))
     return -1;
 
@@ -444,6 +447,20 @@ int64_t w2v2_decode_wav(const char* path, float** out, int* sample_rate,
   *sample_rate = rate;
   *channels = fmt_channels;
   return n;
+}
+
+int64_t w2v2_decode_wav(const char* path, float** out, int* sample_rate,
+                        int* channels) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<uint8_t> buf;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  buf.resize(sz);
+  if (fread(buf.data(), 1, sz, f) != (size_t)sz) { fclose(f); return -1; }
+  fclose(f);
+  return w2v2_decode_wav_buffer(buf.data(), sz, out, sample_rate, channels);
 }
 
 void w2v2_free(void* p) { free(p); }
@@ -629,19 +646,13 @@ struct Decoder {
 
 extern "C" {
 
-// Decodes a FLAC file to float32 (scaled by 1 / 2^(bps-1), first channel).
+// Decodes a FLAC stream to float32 (scaled by 1 / 2^(bps-1), first channel).
 // Returns sample count per channel, or -1 on failure.
-int64_t w2v2_decode_flac(const char* path, float** out, int* sample_rate,
-                         int* channels) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  std::vector<uint8_t> buf;
-  fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  buf.resize(sz);
-  if (fread(buf.data(), 1, sz, f) != (size_t)sz) { fclose(f); return -1; }
-  fclose(f);
+int64_t w2v2_decode_flac_buffer(const void* data, int64_t len, float** out,
+                                int* sample_rate, int* channels) {
+  const uint8_t* bytes = (const uint8_t*)data;
+  int64_t sz = len;
+  std::vector<uint8_t> buf(bytes, bytes + (sz > 0 ? sz : 0));
   if (sz < 8 || memcmp(buf.data(), "fLaC", 4)) return -1;
 
   flac::BitReader br{buf.data(), (size_t)sz};
@@ -766,6 +777,20 @@ int64_t w2v2_decode_flac(const char* path, float** out, int* sample_rate,
   *sample_rate = si_rate;
   *channels = si_channels;
   return (int64_t)samples.size();
+}
+
+int64_t w2v2_decode_flac(const char* path, float** out, int* sample_rate,
+                         int* channels) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<uint8_t> buf;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  buf.resize(sz);
+  if (fread(buf.data(), 1, sz, f) != (size_t)sz) { fclose(f); return -1; }
+  fclose(f);
+  return w2v2_decode_flac_buffer(buf.data(), sz, out, sample_rate, channels);
 }
 
 }  // extern "C"

@@ -60,6 +60,8 @@ def get_lib() -> ctypes.CDLL:
 
         lib.w2v2_reader_open.restype = ctypes.c_void_p
         lib.w2v2_reader_open.argtypes = [ctypes.c_char_p]
+        lib.w2v2_reader_open_buffer.restype = ctypes.c_void_p
+        lib.w2v2_reader_open_buffer.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.w2v2_reader_next.restype = ctypes.c_int
         lib.w2v2_reader_next.argtypes = [
             ctypes.c_void_p,
@@ -75,6 +77,16 @@ def get_lib() -> ctypes.CDLL:
             fn.restype = ctypes.c_int64
             fn.argtypes = [
                 ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+        for name in ("w2v2_decode_wav_buffer", "w2v2_decode_flac_buffer"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
@@ -139,6 +151,26 @@ def read_tfrecords(path: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     handle = lib.w2v2_reader_open(path.encode())
     if not handle:
         raise OSError(f"cannot open {path}")
+    yield from _drain_reader(lib, handle, path)
+
+
+def read_tfrecords_bytes(data: bytes, name: str = "<buffer>"):
+    """`read_tfrecords` over an in-memory shard (e.g. fetched from gs://).
+
+    The same native framing/proto parser runs over the buffer via
+    `fmemopen`; `name` only labels error messages.
+    """
+    if not data:
+        return
+    lib = get_lib()
+    # keep a reference so the buffer outlives the native reader
+    handle = lib.w2v2_reader_open_buffer(data, len(data))
+    if not handle:
+        raise OSError(f"cannot open in-memory tfrecord {name}")
+    yield from _drain_reader(lib, handle, name)
+
+
+def _drain_reader(lib, handle, path: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     try:
         speech_p = ctypes.POINTER(ctypes.c_float)()
         label_p = ctypes.POINTER(ctypes.c_int32)()
@@ -176,6 +208,32 @@ def _decode(fn_name: str, path: str) -> Tuple[np.ndarray, int]:
     audio = np.ctypeslib.as_array(out, (n,)).copy()
     lib.w2v2_free(out)
     return audio, rate.value
+
+
+def _decode_buffer(fn_name: str, data: bytes, name: str) -> Tuple[np.ndarray, int]:
+    lib = get_lib()
+    out = ctypes.POINTER(ctypes.c_float)()
+    rate = ctypes.c_int()
+    channels = ctypes.c_int()
+    n = getattr(lib, fn_name)(
+        data, len(data), ctypes.byref(out), ctypes.byref(rate),
+        ctypes.byref(channels),
+    )
+    if n < 0:
+        raise OSError(f"failed to decode {name}")
+    audio = np.ctypeslib.as_array(out, (n,)).copy()
+    lib.w2v2_free(out)
+    return audio, rate.value
+
+
+def decode_wav_bytes(data: bytes, name: str = "<buffer>") -> Tuple[np.ndarray, int]:
+    """`decode_wav` over in-memory bytes (remote-storage path)."""
+    return _decode_buffer("w2v2_decode_wav_buffer", data, name)
+
+
+def decode_flac_bytes(data: bytes, name: str = "<buffer>") -> Tuple[np.ndarray, int]:
+    """`decode_flac` over in-memory bytes (remote-storage path)."""
+    return _decode_buffer("w2v2_decode_flac_buffer", data, name)
 
 
 def decode_wav(path: str) -> Tuple[np.ndarray, int]:

@@ -230,6 +230,7 @@ def transformer_layer_forward(
     training: bool,
     rngs: Optional[jax.Array],
     attention_impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """One encoder layer, pre-/post-norm selectable (reference `encoder.py:111-134`).
 
@@ -251,6 +252,7 @@ def transformer_layer_forward(
         rng=rngs[0] if training else None,
         deterministic=deterministic,
         impl=attention_impl,
+        mesh=mesh,
     )
     batch = dropout(batch, config.dropout, rngs[1] if training else None, deterministic)
     batch = batch + residual
@@ -289,6 +291,7 @@ def encoder_forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     attention_impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """Positional conv embed + N transformer layers via `lax.scan`.
 
@@ -328,7 +331,7 @@ def encoder_forward(
         layer_params, layer_rng = xs
         h = transformer_layer_forward(
             h, layer_params, config, mask_bias, training=training, rngs=layer_rng,
-            attention_impl=attention_impl,
+            attention_impl=attention_impl, mesh=mesh,
         )
         return h, None
 
@@ -352,6 +355,7 @@ def wav2vec2_forward(
     compute_dtype=jnp.float32,
     remat: bool = False,
     attention_impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """`Wav2Vec2Model.call` (reference `modeling.py:169-209`).
 
@@ -399,6 +403,7 @@ def wav2vec2_forward(
         rng=next_key() if training else None,
         remat=remat,
         attention_impl=attention_impl,
+        mesh=mesh,
     )
 
 
@@ -413,6 +418,7 @@ def wav2vec2_for_ctc_forward(
     compute_dtype=jnp.float32,
     remat: bool = False,
     attention_impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """`Wav2Vec2ForCTC.call`: base model → dropout → LM head.
 
@@ -431,6 +437,7 @@ def wav2vec2_for_ctc_forward(
         compute_dtype=compute_dtype,
         remat=remat,
         attention_impl=attention_impl,
+        mesh=mesh,
     )
     x = dropout(x, config.dropout, head_rng, not training)
     logits = dense(x, params["lm_head"])

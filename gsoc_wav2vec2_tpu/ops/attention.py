@@ -73,11 +73,18 @@ def mha(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """Dispatch between the fused Pallas kernel and the XLA einsum path.
 
     `impl`: "auto" (fused on TPU when shapes allow and attention-prob
     dropout is inactive), "flash", or "xla".
+
+    `mesh`: the ("data", "model") `jax.sharding.Mesh` of the surrounding
+    SPMD program, if any.  The Pallas kernel is a custom call that GSPMD
+    cannot partition, so under a multi-device mesh the flash path runs
+    through a `shard_map` wrapper (batch over "data", heads over "model")
+    instead of being gathered whole onto every device.
     """
     if impl == "auto":
         from .pallas.flash_attention import supports
@@ -96,7 +103,10 @@ def mha(
             dropout_rate=dropout_rate, rng=rng, deterministic=deterministic,
         )
 
-    from .pallas.flash_attention import flash_attention
+    from .pallas.flash_attention import (
+        flash_attention,
+        shard_mapped_flash_attention,
+    )
 
     head_size = x.shape[-1] // num_heads
     q = split_heads(dense(x, params["q_proj"]), num_heads)
@@ -110,8 +120,17 @@ def mha(
         rate = dropout_rate
         if rng is not None:
             seed = jax.random.randint(rng, (), 0, 2**23, dtype=jnp.int32)
-    context = flash_attention(q, k, v, mask_bias, dropout_rate=rate,
-                              dropout_seed=seed)
+    if mesh is not None and mesh.size > 1:
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        context = shard_mapped_flash_attention(
+            q, k, v, mask_bias, mesh=mesh,
+            data_axis=DATA_AXIS, model_axis=MODEL_AXIS,
+            dropout_rate=rate, dropout_seed=seed,
+        )
+    else:
+        context = flash_attention(q, k, v, mask_bias, dropout_rate=rate,
+                                  dropout_seed=seed)
     return dense(merge_heads(context), params["out_proj"])
 
 

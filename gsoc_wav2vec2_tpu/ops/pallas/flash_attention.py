@@ -320,6 +320,80 @@ def flash_attention(
     return out[:, :, :l, :] if lp != l else out
 
 
+def shard_mapped_flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    *,
+    mesh,
+    data_axis: str,
+    model_axis: str,
+    dropout_rate: float = 0.0,
+    dropout_seed=0,
+    q_block: int = DEFAULT_Q_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """`flash_attention` partitioned over a ("data", "model") mesh.
+
+    GSPMD treats a `pallas_call` as an opaque custom call, so under pjit it
+    would gather the full (B, H, L, D) q/k/v onto every device before the
+    kernel.  `shard_map` instead runs one kernel instance per shard on its
+    local block — batch split over the data axis, heads over the model axis
+    (matching `parallel/partition.py`'s column-sharded q/k/v projections) —
+    with zero collectives: attention is embarrassingly parallel over (B, H).
+
+    Each shard folds its linear mesh index into the dropout seed so masks
+    are decorrelated across shards (the in-kernel counter hash otherwise
+    reuses (seed + grid index) identically on every shard).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    b, h, l, _ = q.shape
+    data_size = mesh.shape[data_axis]
+    model_size = mesh.shape[model_axis]
+    if b % data_size or h % model_size:
+        raise ValueError(
+            f"batch {b} / heads {h} not divisible by mesh "
+            f"({data_size} data, {model_size} model)"
+        )
+    if bias is None:
+        bias = jnp.zeros((b, 1, 1, l), jnp.float32)
+    else:
+        bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
+    seed_arr = jnp.asarray(dropout_seed, jnp.int32)
+
+    qkv_spec = P(data_axis, model_axis, None, None)
+    bias_spec = P(data_axis, None, None, None)
+
+    def local(q, k, v, bias, seed):
+        shard = (
+            jax.lax.axis_index(data_axis) * model_size
+            + jax.lax.axis_index(model_axis)
+        )
+        # 2**20 > any (grid index + caller seed < 2**23) stride collision in
+        # the uint32 hash domain matters statistically, not bit-exactly
+        local_seed = seed + shard * jnp.int32(2**20)
+        return flash_attention(
+            q, k, v, bias,
+            dropout_rate=dropout_rate,
+            dropout_seed=local_seed,
+            q_block=q_block,
+            interpret=interpret,
+        )
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, so the rep checker cannot type it (and there are no
+    # collectives here for it to verify anyway)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec, P()),
+        out_specs=qkv_spec,
+        check_vma=False,
+    )(q, k, v, bias, seed_arr)
+
+
 def supports(l: int, d: int, *, training: bool = False) -> bool:
     """Whether the fused kernel can serve this shape/mode.
 

@@ -27,8 +27,14 @@ class CheckpointManager:
     """
 
     def __init__(self, directory: str, max_to_keep: Optional[int] = None):
-        directory = os.path.abspath(directory)
-        os.makedirs(directory, exist_ok=True)
+        if "://" in directory:
+            # remote checkpoint bucket (the reference's CKPT_BUCKET_NAME leg,
+            # `main.py:24-27`, `training_utils.py:38-45`): Orbax/tensorstore
+            # speak gs:// natively — abspath/makedirs would mangle the URL
+            pass
+        else:
+            directory = os.path.abspath(directory)
+            os.makedirs(directory, exist_ok=True)
         self._manager = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(

@@ -44,12 +44,18 @@ def make_train_step(
     length_aware: bool = False,
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
+    mesh=None,
+    attention_impl: str = "auto",
 ):
     """Build the jitted `(state, batch, rng) -> (state, metrics)` step.
 
     `batch` is a dict with ``speech`` (B, L) float32, ``labels`` (B, U) int32
     and optionally ``attention_mask`` (B, L).  State buffers are donated —
     parameters and optimizer slots update in place in HBM.
+
+    `mesh` makes the flash-attention kernel partition-aware (shard_map over
+    batch/heads instead of an opaque gathered custom call — see
+    `ops/attention.py::mha`).
     """
 
     def loss_fn(params, batch, rng):
@@ -63,6 +69,8 @@ def make_train_step(
             rng=rng,
             compute_dtype=compute_dtype,
             remat=remat,
+            mesh=mesh,
+            attention_impl=attention_impl,
         )
         b, t = logits.shape[0], logits.shape[1]
         if length_aware and mask is not None:
@@ -92,6 +100,7 @@ def make_eval_step(
     *,
     with_attention_mask: bool = False,
     compute_dtype=jnp.bfloat16,
+    mesh=None,
 ):
     """Jitted `(params, batch) -> (greedy_ids, frame_lengths)` for WER eval.
 
@@ -105,7 +114,7 @@ def make_eval_step(
         mask = batch.get("attention_mask") if with_attention_mask else None
         logits = wav2vec2_for_ctc_forward(
             params, config, batch["speech"], mask, training=False,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, mesh=mesh,
         )
         predictions = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if mask is not None:

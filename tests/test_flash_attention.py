@@ -216,3 +216,121 @@ def test_flash_odd_length_padding():
     g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v, interpret=True) * w))(q)
     g_ref = jax.grad(lambda q: jnp.sum(_reference(q, k, v) * w))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+# --- shard_map composition (tensor/data parallel meshes) ----------------------
+
+
+def _mesh_4x2():
+    from gsoc_wav2vec2_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=4, model=2)
+
+
+def test_shard_mapped_flash_matches_reference_4x2_mesh():
+    """Partitioned kernel instances (batch over data, heads over model) must
+    reproduce the single-device math — the GSPMD-opacity fix (VERDICT r1 #3)."""
+    from gsoc_wav2vec2_tpu.ops.pallas.flash_attention import (
+        shard_mapped_flash_attention,
+    )
+
+    mesh = _mesh_4x2()
+    q, k, v = _qkv(jax.random.PRNGKey(13), b=8, h=4, l=256)
+    mask = np.ones((8, 256), np.float32)
+    mask[:, 170:] = 0.0
+    bias = mask_to_bias(jnp.asarray(mask))
+
+    got = shard_mapped_flash_attention(
+        q, k, v, bias, mesh=mesh, data_axis="data", model_axis="model",
+        interpret=True,
+    )
+    want = _reference(q, k, v, bias)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, :170], np.asarray(want)[:, :, :170], atol=1e-4
+    )
+
+
+def test_shard_mapped_flash_grad_matches_reference():
+    """custom-VJP × shard_map: gradients must flow per-shard correctly."""
+    from gsoc_wav2vec2_tpu.ops.pallas.flash_attention import (
+        shard_mapped_flash_attention,
+    )
+
+    mesh = _mesh_4x2()
+    q, k, v = _qkv(jax.random.PRNGKey(14), b=4, h=2, l=128)
+    w = jax.random.normal(jax.random.PRNGKey(15), q.shape, jnp.float32)
+
+    def loss_sharded(q, k, v):
+        out = shard_mapped_flash_attention(
+            q, k, v, None, mesh=mesh, data_axis="data", model_axis="model",
+            interpret=True,
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v) * w)
+
+    got = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, t, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(t), atol=1e-3, err_msg=f"d{name}"
+        )
+
+
+def test_mha_flash_with_mesh_matches_xla():
+    """`mha(impl='flash', mesh=...)` — the full projection block through the
+    shard_map wrapper under a 4x2 mesh equals the XLA einsum path."""
+    rng = jax.random.PRNGKey(16)
+    h_dim, heads, l = 128, 2, 256
+    keys = jax.random.split(rng, 9)
+    params = {
+        name: {
+            "kernel": jax.random.normal(keys[i], (h_dim, h_dim), jnp.float32) * 0.05,
+            "bias": jax.random.normal(keys[i + 4], (h_dim,), jnp.float32) * 0.01,
+        }
+        for i, name in enumerate(["q_proj", "k_proj", "v_proj", "out_proj"])
+    }
+    x = jax.random.normal(keys[8], (4, l, h_dim), jnp.float32)
+    mesh = _mesh_4x2()
+
+    want = mha_xla(x, params, heads)
+    from gsoc_wav2vec2_tpu.ops.pallas import flash_attention as fa_mod
+
+    orig = fa_mod.flash_attention
+    try:
+        # force interpret even where the wrapper passes interpret= explicitly
+        fa_mod.flash_attention = lambda *a, **kw: orig(
+            *a, **{**kw, "interpret": True}
+        )
+        got = mha(x, params, heads, impl="flash", mesh=mesh)
+    finally:
+        fa_mod.flash_attention = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_shard_mapped_dropout_decorrelated_and_deterministic():
+    """Each shard folds its mesh index into the dropout seed: the sharded
+    result is reproducible but NOT the single-device mask pattern (which
+    would correlate dropout across batch/head shards)."""
+    from gsoc_wav2vec2_tpu.ops.pallas.flash_attention import (
+        flash_attention as fa,
+        shard_mapped_flash_attention,
+    )
+
+    mesh = _mesh_4x2()
+    q, k, v = _qkv(jax.random.PRNGKey(17), b=4, h=2, l=128)
+    kwargs = dict(dropout_rate=0.5, dropout_seed=5, interpret=True)
+
+    a = np.asarray(shard_mapped_flash_attention(
+        q, k, v, None, mesh=mesh, data_axis="data", model_axis="model", **kwargs
+    ))
+    b = np.asarray(shard_mapped_flash_attention(
+        q, k, v, None, mesh=mesh, data_axis="data", model_axis="model", **kwargs
+    ))
+    np.testing.assert_array_equal(a, b)  # deterministic given the seed
+    single = np.asarray(fa(q, k, v, **kwargs))
+    # shard (0, 0) uses the unmodified seed -> matches the single-device mask
+    np.testing.assert_allclose(a[0, 0], single[0, 0], atol=1e-5)
+    # other shards fold in their mesh index -> different masks
+    assert np.abs(a[1:] - single[1:]).max() > 1e-3

@@ -142,3 +142,55 @@ def test_stage2_lr_schedule():
     assert float(sched(99)) == pytest.approx(1e-4)
     assert float(sched(100)) == pytest.approx(5e-5)
     assert float(sched(1000)) == pytest.approx(5e-5)
+
+
+def test_train_step_flash_attention_matches_xla_under_tp(tiny_config):
+    """Flash attention (shard_map-partitioned Pallas kernel, interpret mode)
+    composes with the full tensor-parallel train step: the loss trajectory
+    must match the XLA-attention step on a 4x2 mesh (VERDICT r1 #3)."""
+    from gsoc_wav2vec2_tpu.ops.pallas import flash_attention as fa_mod
+
+    mesh = make_mesh(data=4, model=2)
+    global_batch = 8
+
+    def run(attention_impl):
+        params = shard_params(
+            init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), tiny_config), mesh
+        )
+        tx = create_optimizer(1e-3)
+        state = TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+            params=params,
+            opt_state=jax.jit(tx.init)(params),
+        )
+        step = make_train_step(
+            tiny_config,
+            tx,
+            division_factor=global_batch,
+            with_attention_mask=True,
+            compute_dtype=jnp.float32,
+            mesh=mesh,
+            attention_impl=attention_impl,
+        )
+        batch = jax.device_put(
+            _make_batch(jax.random.PRNGKey(1), global_batch), batch_sharding(mesh)
+        )
+        rng = jax.device_put(jax.random.PRNGKey(2), replicated(mesh))
+        losses = []
+        for _ in range(2):
+            state, metrics = step(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    orig = fa_mod.flash_attention
+    try:
+        fa_mod.flash_attention = lambda *a, **kw: orig(
+            *a, **{**kw, "interpret": True}
+        )
+        flash_losses = run("flash")
+    finally:
+        fa_mod.flash_attention = orig
+    xla_losses = run("xla")
+    # both paths share the same rng stream; attention-prob dropout (0.1)
+    # differs between the in-kernel mask and the XLA mask, so compare loosely
+    np.testing.assert_allclose(flash_losses, xla_losses, rtol=0.05)
