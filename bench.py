@@ -10,12 +10,21 @@ Baseline: the reference's best published latency is its ONNX CPU export —
 `jit_compile=True` path was 2.85 s ⇒ RTF 1.10.  `vs_baseline` is the speedup
 over the ONNX number (the strongest reference configuration).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+`extra` carries the secondary numbers:
+  * train_ms_per_step — the reference recipe's hot training step (stage 2:
+    conv front-end frozen, batch 32/chip, 246000 samples, bf16, per-layer
+    remat, flash attention w/ in-kernel dropout) — `main.py:192-255`;
+  * train_audio_sec_per_sec — the same as throughput;
+  * export_ms / live_ms — exported StableHLO artifact vs live jit at the
+    reference's ONNX-notebook shape (1x50000 samples), the analog of
+    `notebooks/wav2vec2_onnx.ipynb` cell 25's 3-way latency table.
 """
 
 from __future__ import annotations
 
 import json
+import tempfile
 import time
 
 import jax
@@ -28,17 +37,17 @@ WARMUP = 3
 ITERS = 15
 BASELINE_RTF = 3.125 / 0.84  # reference ONNX export, final_report.md:62-67
 
+TRAIN_BATCH = 32  # reference per-replica batch (`main.py:156`)
+TRAIN_ITERS = 8
+EXPORT_LEN = 50000  # reference ONNX latency shape (wav2vec2_onnx.ipynb)
 
-def main() -> None:
-    from gsoc_wav2vec2_tpu import Wav2Vec2Config
-    from gsoc_wav2vec2_tpu.models.modeling import (
-        init_wav2vec2_for_ctc_params,
-        wav2vec2_for_ctc_forward,
+
+def _bench_inference(config, params):
+    from gsoc_wav2vec2_tpu.models.modeling import wav2vec2_for_ctc_forward
+
+    speech = jax.random.normal(
+        jax.random.PRNGKey(1), (BATCH, AUDIO_LEN), jnp.float32
     )
-
-    config = Wav2Vec2Config()
-    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
-    speech = jax.random.normal(jax.random.PRNGKey(1), (BATCH, AUDIO_LEN), jnp.float32)
 
     @jax.jit
     def fwd(params, speech):
@@ -59,9 +68,103 @@ def main() -> None:
         acc = fwd(params, speech)
     float(acc)  # device->host readback: forces the chain to complete
     elapsed = time.perf_counter() - start
-
     audio_seconds = ITERS * BATCH * AUDIO_LEN / SAMPLE_RATE
-    rtf = audio_seconds / elapsed
+    return audio_seconds / elapsed
+
+
+def _bench_train_step(config, params):
+    """Stage-2 recipe step: conv front-end frozen, flash attention, remat."""
+    from gsoc_wav2vec2_tpu.training import (
+        TrainState,
+        create_optimizer,
+        make_train_step,
+    )
+
+    speech = jax.random.normal(
+        jax.random.PRNGKey(2), (TRAIN_BATCH, AUDIO_LEN), jnp.float32
+    )
+    labels = (
+        jnp.tile(jnp.arange(1, 33, dtype=jnp.int32)[None, :], (TRAIN_BATCH, 1))
+        % 31 + 1
+    )
+    batch = {"speech": speech, "labels": labels}
+    tx = create_optimizer(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    step = make_train_step(
+        config, tx, division_factor=TRAIN_BATCH, with_attention_mask=False,
+        compute_dtype=jnp.bfloat16, remat=True,
+        frozen=("feature_extractor",),
+    )
+    rng = jax.random.PRNGKey(3)
+    state, m = step(state, batch, rng)
+    float(m["loss"])  # warmup + compile
+    start = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, m = step(state, batch, rng)
+    float(m["loss"])
+    ms = (time.perf_counter() - start) / TRAIN_ITERS * 1000
+    return ms, state.params  # params were donated; return the live copy
+
+
+def _bench_export(config, params):
+    """Exported StableHLO artifact vs live jit at the ONNX-notebook shape."""
+    from gsoc_wav2vec2_tpu.export.stablehlo import export_model, load_exported
+    from gsoc_wav2vec2_tpu.models.modeling import wav2vec2_for_ctc_forward
+
+    speech = jax.random.normal(jax.random.PRNGKey(4), (1, EXPORT_LEN), jnp.float32)
+
+    with tempfile.TemporaryDirectory() as d:
+        export_model(config, params, d, seqlen=EXPORT_LEN, batch_size=1)
+        exported, _meta = load_exported(d)
+
+    call = jax.jit(exported.call)
+
+    @jax.jit
+    def live(params, speech):
+        return wav2vec2_for_ctc_forward(
+            params, config, speech, training=False, compute_dtype=jnp.bfloat16
+        )
+
+    def timeit(fn, *args, n=10):
+        out = fn(*args)
+        float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
+        start = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
+        return (time.perf_counter() - start) / n * 1000
+
+    return timeit(call, params, speech), timeit(live, params, speech)
+
+
+def main() -> None:
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config
+    from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
+
+    config = Wav2Vec2Config()
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
+
+    rtf = _bench_inference(config, params)
+    extra = {}
+    try:
+        train_ms, params = _bench_train_step(config, params)
+        extra["train_ms_per_step_b32_246k_remat"] = round(train_ms, 1)
+        extra["train_audio_sec_per_sec"] = round(
+            TRAIN_BATCH * AUDIO_LEN / SAMPLE_RATE / (train_ms / 1000), 0
+        )
+    except Exception as e:  # secondary metric must not kill the headline
+        extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        export_ms, live_ms = _bench_export(config, params)
+        extra["export_artifact_ms_1x50000"] = round(export_ms, 2)
+        extra["live_ms_1x50000"] = round(live_ms, 2)
+    except Exception as e:
+        extra["export_error"] = f"{type(e).__name__}: {e}"[:200]
+
     print(
         json.dumps(
             {
@@ -69,6 +172,7 @@ def main() -> None:
                 "value": round(rtf, 2),
                 "unit": "audio_sec/sec",
                 "vs_baseline": round(rtf / BASELINE_RTF, 2),
+                "extra": extra,
             }
         )
     )

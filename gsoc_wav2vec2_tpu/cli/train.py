@@ -76,8 +76,11 @@ class TrainingArgs:
     compute_dtype: str = "bfloat16"
     length_aware_loss: bool = False
     # rematerialise per-layer activations in backward: needed at the
-    # reference's 32/chip batch; --no-remat is ~14% faster when memory allows
+    # reference's 32/chip batch; --no-remat is faster when memory allows.
+    # remat_policy "dots" saves MXU outputs and recomputes only cheap
+    # elementwise ops — close to no-remat speed at a fraction of its memory
     remat: bool = True
+    remat_policy: str = "full"
 
     train_tfrecords: List[str] = field(default_factory=list)
     val_tfrecords: List[str] = field(default_factory=list)
@@ -172,12 +175,13 @@ def run_stage(
     global_batch = _global_batch(args)
     if stage == 1:
         # backbone frozen: only lm_head trains (reference `main.py:210`)
-        mask = trainable_mask(params, ("wav2vec2",))
+        frozen = ("wav2vec2",)
         lr0 = args.stage1_lr
     else:
         # conv front-end frozen (reference `main.py:236-237`)
-        mask = trainable_mask(params, ("feature_extractor",))
+        frozen = ("feature_extractor",)
         lr0 = args.stage2_lr1
+    mask = trainable_mask(params, frozen)
     # dynamic LR so stage 2 can drop 1e-4 -> 5e-5 at the *actual* epoch
     # boundary (reference `training_utils.py:24-31`: lr1 while
     # epoch <= transition, lr2 after) without recompiling the step
@@ -233,8 +237,12 @@ def run_stage(
         with_attention_mask=config.is_robust or args.length_aware_loss,
         length_aware=args.length_aware_loss,
         compute_dtype=getattr(jnp, args.compute_dtype),
-        remat=args.remat,
+        remat=(args.remat_policy if args.remat_policy != "full" else True)
+        if args.remat else False,
         mesh=mesh,
+        # gradients stop at the freeze boundary: bit-identical updates
+        # (set_to_zero masks them anyway), much cheaper backward
+        frozen=frozen,
     )
     rng = jax.device_put(jax.random.PRNGKey(args.seed + stage), replicated(mesh))
 
@@ -419,6 +427,8 @@ def parse_args() -> TrainingArgs:
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--length_aware_loss", action="store_true")
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True)
+    parser.add_argument("--remat_policy", type=str, default="full",
+                        choices=["full", "dots"])
     parser.add_argument("--train_tfrecords", nargs="*", default=[])
     parser.add_argument("--val_tfrecords", nargs="*", default=[])
     parser.add_argument("--test_tfrecords", nargs="*", default=[])

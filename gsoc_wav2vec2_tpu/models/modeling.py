@@ -175,24 +175,34 @@ def feature_encoder_forward(
     compute_dtype=jnp.float32,
     *,
     training: bool = False,
+    frozen: bool = False,
 ) -> jax.Array:
     """7× strided conv blocks over the raw waveform.
 
     (B, L_samples) -> (B, L_frames, 512).  Reference
     `modeling.py:188-190`, `feature_extractor.py:54-59`.
 
-    On TPU in bf16 inference the first two layers run as one fused Pallas
-    kernel (`ops/pallas/conv_frontend.py`): conv0's output is recomputed in
+    On TPU in bf16 the first two layers run as one fused Pallas kernel
+    (`ops/pallas/conv_frontend.py`): conv0's output is recomputed in
     VMEM instead of round-tripping HBM four times through
-    GroupNorm/GELU/conv1.
+    GroupNorm/GELU/conv1.  In training the kernel needs `frozen=True`
+    (stop_gradient at the front-end output — the reference recipe's state
+    in both stages), since it has no VJP.
     """
     from ..ops.pallas import conv_frontend
+
+    if frozen:
+        # cut autodiff at the INPUTS: linearization is eager, so a
+        # stop_gradient only on the output would still demand a JVP of the
+        # (VJP-less) fused kernel; param-less operands make the whole
+        # front-end a constant subgraph
+        params = jax.lax.stop_gradient(params)
 
     start = 0
     if (
         jax.default_backend() == "tpu"
         and compute_dtype == jnp.bfloat16
-        and conv_frontend.supports(config, training)
+        and conv_frontend.supports(config, training, frozen)
     ):
         p0, p1 = params["conv_layers"][0], params["conv_layers"][1]
         x = conv_frontend.fused_conv01(
@@ -336,7 +346,14 @@ def encoder_forward(
         return h, None
 
     if remat:
-        body = jax.checkpoint(body)
+        # `remat` may be a policy name: "full" (save nothing per layer —
+        # minimum memory, recomputes the whole layer in backward) or "dots"
+        # (save MXU outputs, recompute only cheap elementwise ops — most of
+        # no-remat's speed at a fraction of its activation memory)
+        policy = None
+        if remat == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        body = jax.checkpoint(body, policy=policy)
     x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
 
     if prenorm:
@@ -356,6 +373,7 @@ def wav2vec2_forward(
     remat: bool = False,
     attention_impl: str = "auto",
     mesh=None,
+    frozen: tuple = (),
 ) -> jax.Array:
     """`Wav2Vec2Model.call` (reference `modeling.py:169-209`).
 
@@ -364,15 +382,25 @@ def wav2vec2_forward(
       attention_mask: optional (B, L_samples) 0/1 sample-level mask; converted
         to a frame-level mask through the conv stride arithmetic
         (reference `modeling.py:201-206`).
+      frozen: subtree names whose parameters the optimizer freezes (the
+        recipe's `trainable_mask` names).  A `stop_gradient` at the freeze
+        boundary keeps XLA from building the backward program for the frozen
+        region — with `optax.set_to_zero` masking those updates anyway, the
+        parameter trajectory is bit-identical and the conv front-end's
+        backward (the single most expensive gradient in the model) vanishes
+        from the step.
     Returns:
       (B, L_frames, hidden_size) hidden states.
     """
     next_key = _rng_stream(rng)
 
+    frontend_frozen = "feature_extractor" in frozen or "wav2vec2" in frozen
     x = feature_encoder_forward(
         params["feature_extractor"], config, batch, compute_dtype,
-        training=training,
+        training=training, frozen=frontend_frozen,
     )
+    if frontend_frozen:
+        x = jax.lax.stop_gradient(x)
 
     fp = params["feature_projection"]
     x = layer_norm(x, fp["layer_norm"], config.layer_norm_eps)
@@ -419,10 +447,14 @@ def wav2vec2_for_ctc_forward(
     remat: bool = False,
     attention_impl: str = "auto",
     mesh=None,
+    frozen: tuple = (),
 ) -> jax.Array:
     """`Wav2Vec2ForCTC.call`: base model → dropout → LM head.
 
     Reference `modeling.py:239-255`.  Returns (B, L_frames, vocab) logits.
+    `frozen` — see `wav2vec2_forward`; "wav2vec2" stops gradients at the
+    backbone output (stage 1 trains only the LM head, reference
+    `main.py:210`).
     """
     next_key = _rng_stream(rng)
     head_rng = next_key() if training else None
@@ -438,7 +470,10 @@ def wav2vec2_for_ctc_forward(
         remat=remat,
         attention_impl=attention_impl,
         mesh=mesh,
+        frozen=frozen,
     )
+    if "wav2vec2" in frozen:
+        x = jax.lax.stop_gradient(x)
     x = dropout(x, config.dropout, head_rng, not training)
     logits = dense(x, params["lm_head"])
     return logits.astype(jnp.float32)

@@ -82,19 +82,51 @@ def group_norm(
     return y.astype(dtype)
 
 
+def _hash_keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
+    """Counter-based keep-mask: murmur3-style integer mix of
+    (seed, linear element index) — the same construction as the flash
+    kernel's in-kernel dropout (`ops/pallas/flash_attention.py`).
+
+    Why not `jax.random.bernoulli`: threefry costs ~20 VPU ops per word
+    plus a materialised uniform buffer; at the training recipe shape the
+    model's ~40 dropout masks cost ~90 ms/step (measured on v5e).  The hash
+    is ~7 fused integer ops per element straight from an on-the-fly iota —
+    no random-bits buffer ever exists.  Statistical quality is far beyond
+    what dropout needs; determinism per (seed, shape) is exact.
+    """
+    n = 1
+    for d in shape:
+        n *= d
+    idx = jax.lax.iota(jnp.uint32, n)
+    x = idx ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    threshold = jnp.uint32(int((1.0 - rate) * float(2**32 - 1)))
+    return (x < threshold).reshape(shape)
+
+
 def dropout(
     x: jax.Array,
     rate: float,
     rng: Optional[jax.Array],
     deterministic: bool,
 ) -> jax.Array:
-    """Inverted dropout (Keras `Dropout` semantics)."""
+    """Inverted dropout (Keras `Dropout` semantics).
+
+    The mask comes from a counter-based hash seeded by one 32-bit draw from
+    `rng` (see `_hash_keep_mask`) — deterministic given the key, ~3x cheaper
+    than threefry-per-element at training shapes.
+    """
     if deterministic or rate == 0.0:
         return x
     if rng is None:
         raise ValueError("dropout requires an rng key when not deterministic")
     keep_prob = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep_prob, x.shape)
+    seed = jax.random.bits(rng, dtype=jnp.uint32)
+    mask = _hash_keep_mask(seed, x.shape, rate)
     return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
 
 

@@ -48,6 +48,67 @@ TILE = 512  # conv1 output rows per grid step
 HALO = 8    # A-phase rows fetched from the next tile (only row 0 is used)
 
 
+def _stats_kernel(a_ref, b_ref, out_ref, *, na: int, nb: int):
+    """Sufficient statistics for the exact GroupNorm: accumulates the 10x10
+    window Gram matrix and the 10-vector row sum over both stride phases.
+
+    XLA lane-pads the 10-wide reduction arrays 12.8x internally (~2 ms of
+    prep at the eval shape, the dominant non-kernel cost of the fused
+    front-end); here the masked (TILE, 10) tiles stay at natural width and
+    the accumulator lives in the revisited output block.
+    """
+    t = pl.program_id(1)
+    base = t * TILE
+    a = a_ref[0].astype(jnp.float32)
+    bb = b_ref[0].astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + base
+    a = jnp.where(rows < na, a, 0.0)
+    bb = jnp.where(rows < nb, bb, 0.0)
+    gram = jax.lax.dot_general(
+        a, a, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        bb, bb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rsum = jnp.sum(a, axis=0) + jnp.sum(bb, axis=0)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0, :10, :] += gram
+    out_ref[0, 10:11, :] += rsum[None, :]
+
+
+def _window_stats(pa, pb, na: int, nb: int, interpret: bool):
+    """(B, R, 10) phases -> (gram (B, 10, 10), row_sum (B, 10)) in f32."""
+    b, r, _ = pa.shape
+    out = pl.pallas_call(
+        functools.partial(_stats_kernel, na=na, nb=nb),
+        grid=(b, r // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, 10), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, 10), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, 10), lambda i, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 16, 10), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * r * 10 * 10,
+            bytes_accessed=2 * b * r * 10 * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pa, pb)
+    return out[:, :10, :], out[:, 10, :]
+
+
 def _kernel(a_ref, b_ref, a2_ref, stats_ref, w0_ref, w1_ref, out_ref,
             *, gelu_approx: bool):
     """Grid: (B, T1p // TILE).
@@ -114,30 +175,23 @@ def fused_conv01(
 
     n_tiles = -(-t1 // TILE)
     t1p = n_tiles * TILE
+    # phase arrays span a whole extra TILE so the halo reads and the
+    # stats-kernel grid share one (B, R, 10) tiling
+    r = t1p + TILE
 
     # --- window phases: pure reshapes of the zero-padded waveform ---------
-    pad_len = 10 * (t1p + HALO) + 15
+    pad_len = 10 * r + 15
     x = jnp.pad(waveform.astype(jnp.bfloat16), ((0, 0), (0, pad_len - l)))
-    pa = x[:, : 10 * (t1p + HALO)].reshape(b, t1p + HALO, 10)
-    pb = x[:, 5 : 5 + 10 * t1p].reshape(b, t1p, 10)
+    pa = x[:, : 10 * r].reshape(b, r, 10)
+    pb = x[:, 5 : 5 + 10 * r].reshape(b, r, 10)
 
     # --- exact GroupNorm statistics from sufficient stats ------------------
-    # valid conv0 rows: A rows [0, ceil(t0/2)), B rows [0, t0//2); the
-    # padded-region rows are excluded by contiguous slicing (no mask pass)
+    # valid conv0 rows: A rows [0, ceil(t0/2)), B rows [0, t0//2); rows past
+    # those counts (waveform tail + zero padding) are masked in-kernel
     na, nb = (t0 + 1) // 2, t0 // 2
     w0f = w0.reshape(10, c).astype(jnp.float32)
-    row_sum = (
-        jnp.sum(pa[:, :na], axis=1, dtype=jnp.float32)
-        + jnp.sum(pb[:, :nb], axis=1, dtype=jnp.float32)
-    )  # (B, 10)
+    gram, row_sum = _window_stats(pa, pb, na, nb, interpret)
     mean = (row_sum @ w0f) / t0  # (B, C)
-    gram = jnp.einsum(
-        "btj,btk->bjk", pa[:, :na], pa[:, :na],
-        preferred_element_type=jnp.float32,
-    ) + jnp.einsum(
-        "btj,btk->bjk", pb[:, :nb], pb[:, :nb],
-        preferred_element_type=jnp.float32,
-    )  # (B, 10, 10)
     sumsq = jnp.einsum("bjk,jc,kc->bc", gram, w0f, w0f)
     # E[y^2] - mean^2 cancels catastrophically in f32 when a channel's mean
     # dominates its variance (periodic/DC-heavy audio): the difference can
@@ -191,13 +245,17 @@ def fused_conv01(
     return out[:, :t1, :]
 
 
-def supports(config, training: bool) -> bool:
-    """Base-family geometry only; inference path only (no VJP)."""
+def supports(config, training: bool, frozen: bool = False) -> bool:
+    """Base-family geometry only.  No custom VJP, so in training the kernel
+    is only eligible when the front-end is frozen (the reference recipe,
+    `main.py:236-237`) and a stop_gradient cuts autodiff at its output —
+    which also makes training and evaluation compute features through the
+    SAME code path."""
     import os
 
     return (
         os.environ.get("W2V2_FUSED_CONV", "1") != "0"
-        and not training
+        and (not training or frozen)
         and config.feature_extractor_norm_type == "group"
         and not config.conv_bias
         and len(config.kernal_sizes) >= 2

@@ -34,22 +34,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_Q_BLOCK = 256
-# whole-K design: beyond this the (L, D) K/V tiles / (L, L) bwd tiles blow
-# VMEM (wav2vec2: 246000 samples -> 768 frames, 400000 -> 1249)
+# whole-K, q-blocked design: K/V live whole in VMEM, scores exist only as
+# (q_block, L) tiles in BOTH directions, so the cap is one (L, D) K tile
+# plus a few (q_block, L) f32 tiles — 4096 frames covers every wav2vec2
+# shape (246000 samples -> 768 frames, 400000 -> 1249) with headroom
 MAX_KV = 4096
-MAX_KV_TRAIN = 1024  # backward holds ~4 (L, L) f32 tiles
+MAX_KV_TRAIN = 4096
 
 
-def _dropout_mask(shape, rate: float, seed):
-    """Counter-based keep-mask: murmur3-style integer mix of (seed, element
-    index).  Stateless and layout-independent, so the forward and backward
-    kernels regenerate bit-identical masks — the hardware PRNG
-    (`pltpu.prng_random_bits`) does NOT guarantee that: its bit-to-element
-    mapping follows the vector layout Mosaic picks per kernel (observed as
-    a fwd/bwd mask mismatch in finite-difference tests).  Pure VPU integer
-    ops, ~7 instructions per element.
+def _dropout_mask(shape, rate: float, seed, row_offset):
+    """Counter-based keep-mask: murmur3-style integer mix of (seed, GLOBAL
+    element index).  Stateless and layout-independent, so the forward and
+    backward kernels regenerate bit-identical masks regardless of their
+    q-block grids — the hardware PRNG (`pltpu.prng_random_bits`) does NOT
+    guarantee that: its bit-to-element mapping follows the vector layout
+    Mosaic picks per kernel (observed as a fwd/bwd mask mismatch in
+    finite-difference tests).  `row_offset` maps the block-local row to the
+    global row so differently-blocked kernels agree.  Pure VPU integer ops,
+    ~7 instructions per element.
     """
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row_offset)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = rows * jnp.uint32(shape[1]) + cols
     x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761))
@@ -65,6 +69,7 @@ def _dropout_mask(shape, rate: float, seed):
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
                 *, dropout_rate: float):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -82,7 +87,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
     p = (e / l).astype(v.dtype)
 
     if dropout_rate > 0.0:
-        keep = _dropout_mask(p.shape, dropout_rate, seed_ref[0] + i)
+        keep = _dropout_mask(
+            p.shape, dropout_rate, seed_ref[0] + i, j * p.shape[0]
+        )
         p = jnp.where(keep, p / (1.0 - dropout_rate), jnp.zeros_like(p)).astype(
             v.dtype
         )
@@ -96,18 +103,30 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, dropout_rate: float):
+    """Q-blocked backward: grid (B*H, L/q_block).
+
+    Each step recomputes a (q_block, L) probability tile from its q rows and
+    the whole K (which stays resident in VMEM across the inner grid axis),
+    emits that block's dq, and accumulates dk/dv in float32 into output
+    blocks that the index map pins to the same position for every j — the
+    standard Pallas revisit-accumulate pattern.  The per-row softmax delta
+    needs only this block's full row, so no cross-block reduction exists and
+    VMEM scales as q_block·L instead of L² (this is what lifts the training
+    cap from 1024 to 4096 frames — the 400 000-sample recipe shape is 1249).
+    """
     i = pl.program_id(0)
-    q = q_ref[0]
-    k = k_ref[0]
+    j = pl.program_id(1)
+    q = q_ref[0]   # (bq, d)
+    k = k_ref[0]   # (L, d)
     v = v_ref[0]
-    do = do_ref[0]
+    do = do_ref[0]  # (bq, d)
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     s = s + bias_ref[0]
-    p = jnp.exp(s - lse_ref[0, 0][:, None])  # (L, L) f32
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # (bq, L) f32
 
     dpt = jax.lax.dot_general(  # dout @ v^T
         do.astype(v.dtype), v,
@@ -116,7 +135,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
     )
 
     if dropout_rate > 0.0:
-        keep = _dropout_mask(p.shape, dropout_rate, seed_ref[0] + i)
+        keep = _dropout_mask(
+            p.shape, dropout_rate, seed_ref[0] + i, j * p.shape[0]
+        )
         scale = 1.0 / (1.0 - dropout_rate)
         r = jnp.where(keep, p * scale, jnp.zeros_like(p))
         dp = jnp.where(keep, dpt * scale, jnp.zeros_like(dpt))
@@ -129,19 +150,27 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = (p * (dp - delta)).astype(q.dtype)
 
-    dv_ref[0] = jax.lax.dot_general(  # r^T @ dout
-        r.astype(v.dtype), do.astype(v.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
     dq_ref[0] = jax.lax.dot_general(  # ds @ k
         ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(  # ds^T @ q
+
+    # dk/dv accumulate across q blocks in f32 (the caller casts once at the
+    # end); their output blocks revisit index (i, 0, 0) for every j
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jax.lax.dot_general(  # ds^T @ q
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(  # r^T @ dout
+        r.astype(v.dtype), do.astype(v.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
 
 
 def _flash_fwd(q, k, v, bias, seed, dropout_rate: float, q_block: int,
@@ -149,9 +178,9 @@ def _flash_fwd(q, k, v, bias, seed, dropout_rate: float, q_block: int,
     b, h, l, d = q.shape
     bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
 
-    # dropout masks must align between fwd (q-blocked) and bwd (whole-L):
-    # force one block per head when dropout is active
-    bq = l if dropout_rate > 0.0 else min(q_block, l)
+    # dropout masks are generated from GLOBAL (row, col) indices, so fwd and
+    # bwd may block the q axis independently
+    bq = min(q_block, l)
     while l % bq:
         bq //= 2
     grid = (b * h, l // bq)
@@ -199,10 +228,21 @@ def _flash_fwd(q, k, v, bias, seed, dropout_rate: float, q_block: int,
 
 
 def _flash_bwd(q, k, v, bias, seed, lse, dout, dropout_rate: float,
-               interpret: bool):
+               q_block: int, interpret: bool):
     b, h, l, d = q.shape
     bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
-    grid = (b * h,)
+    # VMEM holds ~4 (bq, L) f32 tiles + whole K/V.  Up to 1024 frames the
+    # whole-L block fits (~16 MB) and keeps the grid fully parallel (no
+    # dk/dv revisit serialisation) — that covers the 246000-sample recipe
+    # shape (768 frames); longer sequences shrink the q block to bound the
+    # working set at ~8 MB
+    if l <= 1024:
+        bq = l
+    else:
+        bq = min(q_block if l <= 2048 else q_block // 2, l)
+    while l % bq:
+        bq //= 2
+    grid = (b * h, l // bq)
     flat = lambda x: x.reshape(b * h, l, d)
 
     dq, dk, dv = pl.pallas_call(
@@ -211,27 +251,37 @@ def _flash_bwd(q, k, v, bias, seed, lse, dout, dropout_rate: float,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, l, d), lambda i, j, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, l, d), lambda i, j, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, l), lambda i, *_, h=h: (i // h, 0, 0),
+                pl.BlockSpec((1, 1, l), lambda i, j, *_, h=h: (i // h, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, l), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, 1, bq), lambda i, j, *_: (i, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-            ] * 3,
+                pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                # dk/dv revisit the same block for every j: f32 accumulators
+                pl.BlockSpec((1, l, d), lambda i, j, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l, d), lambda i, j, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((b * h, l, d), q.dtype)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, l, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, l, d), jnp.float32),
+        ],
+        # j revisits the dk/dv accumulators -> sequential ("arbitrary")
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel", "arbitrary")
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * b * h * l * l * d,
@@ -242,7 +292,7 @@ def _flash_bwd(q, k, v, bias, seed, lse, dout, dropout_rate: float,
     )(seed, flat(q), flat(k), flat(v), bias.reshape(b, 1, l),
       lse.reshape(b * h, 1, l), flat(dout))
     unflat = lambda x: x.reshape(b, h, l, d)
-    return unflat(dq), unflat(dk), unflat(dv)
+    return unflat(dq), unflat(dk).astype(q.dtype), unflat(dv).astype(q.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -263,7 +313,7 @@ def _core_bwd(dropout_rate, q_block, interpret, residuals, dout):
     q, k, v, bias, seed_f, lse = residuals
     seed = seed_f.reshape(1).astype(jnp.int32)
     dq, dk, dv = _flash_bwd(
-        q, k, v, bias, seed, lse, dout, dropout_rate, interpret
+        q, k, v, bias, seed, lse, dout, dropout_rate, q_block, interpret
     )
     # bias is a mask constant in this model family; seed is rng plumbing
     return dq, dk, dv, jnp.zeros_like(bias), jnp.zeros_like(seed_f)
@@ -398,7 +448,8 @@ def supports(l: int, d: int, *, training: bool = False) -> bool:
     """Whether the fused kernel can serve this shape/mode.
 
     Any length up to the VMEM cap works (non-multiples of 128 are padded
-    with -inf key bias internally).
+    with -inf key bias internally); the q-blocked backward keeps the same
+    cap in training.
     """
     limit = MAX_KV_TRAIN if training else MAX_KV
     return l <= limit and d % 64 == 0

@@ -46,6 +46,7 @@ def make_train_step(
     remat: bool = True,
     mesh=None,
     attention_impl: str = "auto",
+    frozen: tuple = (),
 ):
     """Build the jitted `(state, batch, rng) -> (state, metrics)` step.
 
@@ -56,6 +57,12 @@ def make_train_step(
     `mesh` makes the flash-attention kernel partition-aware (shard_map over
     batch/heads instead of an opaque gathered custom call — see
     `ops/attention.py::mha`).
+
+    `frozen` names the recipe's frozen subtrees ("feature_extractor" /
+    "wav2vec2" — same names as `trainable_mask`): gradients stop at the
+    freeze boundary, so XLA never builds the frozen region's backward.
+    Must match the optimizer mask (`optax.set_to_zero` keeps the parameter
+    trajectory bit-identical either way; this just removes dead compute).
     """
 
     def loss_fn(params, batch, rng):
@@ -71,6 +78,7 @@ def make_train_step(
             remat=remat,
             mesh=mesh,
             attention_impl=attention_impl,
+            frozen=frozen,
         )
         b, t = logits.shape[0], logits.shape[1]
         if length_aware and mask is not None:

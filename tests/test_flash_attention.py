@@ -197,8 +197,9 @@ def test_supports_gate():
     assert supports(768, 64, training=False)
     assert supports(768, 64, training=True)
     assert supports(1249, 64, training=False)      # padded internally
+    assert supports(1249, 64, training=True)       # the 400k-sample recipe shape
+    assert supports(4096, 64, training=True)       # q-blocked bwd cap
     assert not supports(8192, 64, training=False)  # too long for VMEM
-    assert not supports(2048, 64, training=True)   # bwd (L,L) tiles too big
 
 
 def test_flash_odd_length_padding():
@@ -334,3 +335,51 @@ def test_shard_mapped_dropout_decorrelated_and_deterministic():
     np.testing.assert_allclose(a[0, 0], single[0, 0], atol=1e-5)
     # other shards fold in their mesh index -> different masks
     assert np.abs(a[1:] - single[1:]).max() > 1e-3
+
+
+def test_flash_long_sequence_grad_with_dropout():
+    """The q-blocked backward + global-index dropout mask at the training
+    recipe shape (400 000 samples -> 1249 frames, not a lane multiple, past
+    the old 1024-frame cap): fwd and bwd block the q axis differently, so
+    any fwd/bwd mask misalignment shows up as a wrong gradient vs central
+    finite differences."""
+    l = 1249
+    q, k, v = _qkv(jax.random.PRNGKey(20), b=1, h=1, l=l)
+    w = jax.random.normal(jax.random.PRNGKey(21), q.shape, jnp.float32)
+
+    def loss(q):
+        return jnp.sum(
+            flash_attention(
+                q, k, v, dropout_rate=0.2, dropout_seed=9,
+                q_block=256, interpret=True,
+            )
+            * w
+        )
+
+    g = jax.grad(loss)(q)
+    rng = np.random.default_rng(1)
+    direction = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    eps = 1e-2
+    fd = (float(loss(q + eps * direction)) - float(loss(q - eps * direction))) / (2 * eps)
+    analytic = float(jnp.sum(g * direction))
+    assert fd == pytest.approx(analytic, rel=2e-2, abs=2e-2)
+
+
+def test_flash_bwd_blocking_invariant():
+    """dk/dv accumulate across q blocks: gradients must not depend on the
+    block size."""
+    l = 512
+    q, k, v = _qkv(jax.random.PRNGKey(22), b=1, h=2, l=l)
+    w = jax.random.normal(jax.random.PRNGKey(23), q.shape, jnp.float32)
+
+    def grads(q_block):
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, q_block=q_block, interpret=True) * w
+            )
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b, name in zip(grads(512), grads(128), "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=f"d{name}"
+        )
