@@ -205,15 +205,31 @@ def feature_encoder_forward(
         and conv_frontend.supports(config, training, frozen)
     ):
         p0, p1 = params["conv_layers"][0], params["conv_layers"][1]
-        x = conv_frontend.fused_conv01(
-            waveform,
-            p0["conv"]["kernel"],
-            p0["layer_norm"]["gamma"],
-            p0["layer_norm"]["beta"],
-            p1["conv"]["kernel"],
-            eps=1e-5,
-            gelu_approx=True,  # == ops.basic.gelu's bf16 path
-        )
+        if config.feature_extractor_norm_type == "group":
+            x = conv_frontend.fused_conv01(
+                waveform,
+                p0["conv"]["kernel"],
+                p0["layer_norm"]["gamma"],
+                p0["layer_norm"]["beta"],
+                p1["conv"]["kernel"],
+                eps=1e-5,
+                gelu_approx=True,  # == ops.basic.gelu's bf16 path
+            )
+        else:  # robust/large family: LayerNorm (+ bias) on both layers
+            zeros = jnp.zeros_like(p0["layer_norm"]["gamma"])
+            x = conv_frontend.fused_conv01_robust(
+                waveform,
+                p0["conv"]["kernel"],
+                p0["conv"].get("bias", zeros),
+                p0["layer_norm"]["gamma"],
+                p0["layer_norm"]["beta"],
+                p1["conv"]["kernel"],
+                p1["conv"].get("bias", zeros),
+                p1["layer_norm"]["gamma"],
+                p1["layer_norm"]["beta"],
+                eps=1e-5,
+                gelu_approx=True,
+            )
         start = 2
     else:
         x = waveform[:, :, None].astype(compute_dtype)

@@ -109,6 +109,52 @@ def _window_stats(pa, pb, na: int, nb: int, interpret: bool):
     return out[:, :10, :], out[:, 10, :]
 
 
+def _kernel_robust(a_ref, b_ref, a2_ref, p0_ref, p1_ref, w0_ref, w1_ref,
+                   out_ref, *, gelu_approx: bool, eps: float):
+    """Robust/large-family variant (reference `feature_extractor.py:40-52`
+    with `RobustWav2Vec2Config`): LayerNorm after BOTH convs instead of one
+    GroupNorm, plus conv biases.  LayerNorm is per-frame over channels, so
+    no global statistics pass exists at all — both norms compute entirely
+    on the tile in VMEM.
+
+    p0/p1_ref: (1, 4, C) f32 — rows [bias, gamma, beta, unused] per conv.
+    """
+    b0 = p0_ref[0, 0, :][None, :]
+    g0 = p0_ref[0, 1, :][None, :]
+    be0 = p0_ref[0, 2, :][None, :]
+    b1 = p1_ref[0, 0, :][None, :]
+    g1 = p1_ref[0, 1, :][None, :]
+    be1 = p1_ref[0, 2, :][None, :]
+
+    def ln(y, gamma, beta):
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        return (y - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+    def conv0_norm_gelu(windows):
+        y = jnp.dot(windows, w0_ref[:], preferred_element_type=jnp.float32)
+        y = ln(y + b0, g0, be0)
+        return jax.nn.gelu(y, approximate=gelu_approx)  # f32
+
+    ya32 = conv0_norm_gelu(a_ref[0])
+    yb = conv0_norm_gelu(b_ref[0]).astype(w1_ref.dtype)
+    yh32 = conv0_norm_gelu(a2_ref[0])
+    rows = jax.lax.broadcasted_iota(jnp.int32, ya32.shape, 0)
+    yc = jnp.where(
+        rows == ya32.shape[0] - 1,
+        jnp.broadcast_to(yh32[:1], ya32.shape),
+        pltpu.roll(ya32, shift=ya32.shape[0] - 1, axis=0),
+    ).astype(w1_ref.dtype)
+    ya = ya32.astype(w1_ref.dtype)
+
+    y1 = jnp.dot(ya, w1_ref[0], preferred_element_type=jnp.float32)
+    y1 += jnp.dot(yb, w1_ref[1], preferred_element_type=jnp.float32)
+    y1 += jnp.dot(yc, w1_ref[2], preferred_element_type=jnp.float32)
+    y1 = ln(y1 + b1, g1, be1)
+    y1 = jax.nn.gelu(y1, approximate=gelu_approx)
+    out_ref[0] = y1.astype(out_ref.dtype)
+
+
 def _kernel(a_ref, b_ref, a2_ref, stats_ref, w0_ref, w1_ref, out_ref,
             *, gelu_approx: bool):
     """Grid: (B, T1p // TILE).
@@ -245,24 +291,124 @@ def fused_conv01(
     return out[:, :t1, :]
 
 
-def supports(config, training: bool, frozen: bool = False) -> bool:
-    """Base-family geometry only.  No custom VJP, so in training the kernel
-    is only eligible when the front-end is frozen (the reference recipe,
-    `main.py:236-237`) and a stop_gradient cuts autodiff at its output —
-    which also makes training and evaluation compute features through the
-    SAME code path."""
-    import os
+@functools.partial(jax.jit, static_argnames=("eps", "gelu_approx", "interpret"))
+def fused_conv01_robust(
+    waveform: jax.Array,
+    w0: jax.Array,
+    b0: jax.Array,
+    gamma0: jax.Array,
+    beta0: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    gamma1: jax.Array,
+    beta1: jax.Array,
+    *,
+    eps: float = 1e-5,
+    gelu_approx: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Robust/large-family front end:
+    conv0(k10,s5)+bias -> LayerNorm -> GELU -> conv1(k3,s2)+bias -> LayerNorm
+    -> GELU.  Same window-phase decomposition as `fused_conv01`; LayerNorm
+    is per-frame so there is no statistics pass at all.
+    """
+    b, l = waveform.shape
+    c = w0.shape[-1]
+    t0 = 1 + (l - 10) // 5
+    t1 = 1 + (t0 - 3) // 2
 
+    n_tiles = -(-t1 // TILE)
+    t1p = n_tiles * TILE
+    r = t1p + TILE
+
+    pad_len = 10 * r + 15
+    x = jnp.pad(waveform.astype(jnp.bfloat16), ((0, 0), (0, pad_len - l)))
+    pa = x[:, : 10 * r].reshape(b, r, 10)
+    pb = x[:, 5 : 5 + 10 * r].reshape(b, r, 10)
+
+    def pack(bias, gamma, beta):
+        return jnp.stack(
+            [bias, gamma, beta, jnp.zeros_like(bias)], axis=0
+        ).astype(jnp.float32)[None]  # (1, 4, C)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_robust, gelu_approx=gelu_approx, eps=eps),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, 10), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, 10), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, HALO, 10),
+                lambda i, t: (i, (t + 1) * (TILE // HALO), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 4, c), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, c), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, c), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c, c), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, c), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t1p, c), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t1p * (2 * 10 * c + 3 * c * c),
+            bytes_accessed=b * (2 * 10 * t1p * 2 + t1p * c * 2),
+            transcendentals=3 * b * t1p * c,
+        ),
+        interpret=interpret,
+    )(
+        pa,
+        pb,
+        pa,
+        pack(b0, gamma0, beta0),
+        pack(b1, gamma1, beta1),
+        w0.reshape(10, c).astype(jnp.bfloat16),
+        w1.astype(jnp.bfloat16),
+    )
+    return out[:, :t1, :]
+
+
+def _geometry_ok(config) -> bool:
     return (
-        os.environ.get("W2V2_FUSED_CONV", "1") != "0"
-        and (not training or frozen)
-        and config.feature_extractor_norm_type == "group"
-        and not config.conv_bias
-        and len(config.kernal_sizes) >= 2
+        len(config.kernal_sizes) >= 2
         and config.kernal_sizes[0] == 10
         and config.strides[0] == 5
         and config.kernal_sizes[1] == 3
         and config.strides[1] == 2
         and config.filter_sizes[0] == config.filter_sizes[1]
         and config.filter_sizes[0] % 128 == 0
+    )
+
+
+def supports(config, training: bool, frozen: bool = False) -> bool:
+    """Both conv-stack families: base (GroupNorm on layer 0, no bias —
+    `fused_conv01`) and robust/large/XLSR (LayerNorm every layer, biases —
+    `fused_conv01_robust`).  No custom VJP, so in training the kernel is
+    only eligible when the front-end is frozen (the reference recipe,
+    `main.py:236-237`) and a stop_gradient cuts autodiff at its output —
+    which also makes training and evaluation compute features through the
+    SAME code path."""
+    import os
+
+    if os.environ.get("W2V2_FUSED_CONV", "1") == "0" or (
+        training and not frozen
+    ) or not _geometry_ok(config):
+        return False
+    if config.feature_extractor_norm_type == "group":
+        return not config.conv_bias
+    # robust variant: correct (tested) but measured ~1.5% BEHIND XLA on v5e
+    # at the large-model shape — the per-frame LayerNorms are cross-lane VPU
+    # reductions the base kernel's precomputed scale/shift avoids.  Opt-in
+    # until it wins.
+    return (
+        config.feature_extractor_norm_type == "layer"
+        and os.environ.get("W2V2_FUSED_CONV_ROBUST", "0") == "1"
     )

@@ -5,9 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gsoc_wav2vec2_tpu.ops.basic import gelu, group_norm
+from gsoc_wav2vec2_tpu.ops.basic import gelu, group_norm, layer_norm
 from gsoc_wav2vec2_tpu.ops.conv import conv1d
-from gsoc_wav2vec2_tpu.ops.pallas.conv_frontend import fused_conv01, supports
+from gsoc_wav2vec2_tpu.ops.pallas.conv_frontend import (
+    fused_conv01,
+    fused_conv01_robust,
+    supports,
+)
 
 
 def _reference(waveform, w0, gamma, beta, w1, gelu_approx=False):
@@ -47,8 +51,12 @@ def test_supports_gate(monkeypatch):
 
     base = Wav2Vec2Config()
     assert supports(base, training=False)      # on by default
-    assert not supports(base, training=True)   # no VJP: inference only
-    assert not supports(RobustWav2Vec2Config(), training=False)  # layer-norm fe
+    assert not supports(base, training=True)   # no VJP: inference only...
+    assert supports(base, training=True, frozen=True)  # ...unless frozen
+    # robust variant is opt-in (measured behind XLA on v5e; see supports())
+    assert not supports(RobustWav2Vec2Config(), training=False)
+    monkeypatch.setenv("W2V2_FUSED_CONV_ROBUST", "1")
+    assert supports(RobustWav2Vec2Config(), training=False)
     monkeypatch.setenv("W2V2_FUSED_CONV", "0")
     assert not supports(base, training=False)  # opt-out honoured
 
@@ -76,3 +84,44 @@ def test_fused_conv01_periodic_dc_signal():
     assert np.isfinite(got).all()
     want = np.asarray(_reference(waveform, w0, gamma, beta, w1)).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=0.06, rtol=0.06)
+
+
+def _reference_robust(waveform, w0, b0, g0, be0, w1, b1, g1, be1,
+                      gelu_approx=False):
+    x = waveform[:, :, None].astype(jnp.bfloat16)
+    x = conv1d(x, w0.astype(jnp.bfloat16), b0, stride=5)
+    x = layer_norm(x, {"gamma": g0, "beta": be0})
+    x = gelu(x, approximate=gelu_approx)
+    x = conv1d(x, w1.astype(jnp.bfloat16), b1, stride=2)
+    x = layer_norm(x, {"gamma": g1, "beta": be1})
+    return gelu(x, approximate=gelu_approx)
+
+
+@pytest.mark.parametrize("length", [26000, 24000])
+def test_fused_conv01_robust_matches_xla(length):
+    """Robust/large-family variant: LayerNorm + bias after both convs
+    (reference `feature_extractor.py:40-52`, `config.py:64-73`)."""
+    c = 128
+    rng = jax.random.PRNGKey(3)
+    k = jax.random.split(rng, 9)
+    waveform = jax.random.normal(k[0], (2, length), jnp.float32)
+    w0 = jax.random.normal(k[1], (10, 1, c), jnp.float32) * 0.3
+    w1 = jax.random.normal(k[2], (3, c, c), jnp.float32) * 0.05
+    b0 = 0.1 * jax.random.normal(k[3], (c,), jnp.float32)
+    b1 = 0.1 * jax.random.normal(k[4], (c,), jnp.float32)
+    g0 = 1.0 + 0.1 * jax.random.normal(k[5], (c,), jnp.float32)
+    be0 = 0.1 * jax.random.normal(k[6], (c,), jnp.float32)
+    g1 = 1.0 + 0.1 * jax.random.normal(k[7], (c,), jnp.float32)
+    be1 = 0.1 * jax.random.normal(k[8], (c,), jnp.float32)
+
+    want = np.asarray(
+        _reference_robust(waveform, w0, b0, g0, be0, w1, b1, g1, be1)
+    ).astype(np.float32)
+    got = np.asarray(
+        fused_conv01_robust(
+            waveform, w0, b0, g0, be0, w1, b1, g1, be1, interpret=True
+        )
+    ).astype(np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+    assert np.abs(got - want).mean() < 5e-3
