@@ -339,6 +339,7 @@ def encoder_forward(
         config.num_conv_pos_embeddings,
         config.num_conv_pos_embedding_groups,
         config.is_gelu_approx,
+        training=training,
     )
 
     prenorm = config.attention_norm_type == "prenorm"

@@ -75,6 +75,7 @@ def pos_conv_embed(
     kernel_size: int,
     groups: int,
     is_gelu_approx: bool = False,
+    training: bool = False,
 ) -> jax.Array:
     """Convolutional relative positional embedding.
 
@@ -83,8 +84,31 @@ def pos_conv_embed(
     kernel is even, then GELU.  Reference `encoder.py:153-181` (the crop is
     the `is_padding_wrong` branch at :175-180).  The caller adds the result
     to the hidden states (`encoder.py:265`).
+
+    On TPU in bf16 inference the grouped conv runs as a Pallas im2col
+    kernel (`ops/pallas/pos_conv.py`) — XLA's grouped-conv lowering is the
+    single least efficient op of the forward pass (~7% MXU).  Training
+    keeps the XLA path (the positional conv is trainable in stage 2 and
+    the kernel has no VJP).
     """
+    import os
+
     kernel = weight_norm_kernel(params["weight_v"], params["weight_g"])
+    if (
+        not training
+        and jax.default_backend() == "tpu"
+        and x.dtype == jnp.bfloat16
+        and kernel_size % 2 == 0
+        and os.environ.get("W2V2_FUSED_POS_CONV", "1") != "0"
+    ):
+        from .pallas.pos_conv import TAP_BLOCK, pos_conv_fused
+
+        if kernel_size % TAP_BLOCK == 0 and x.shape[-1] % groups == 0:
+            return pos_conv_fused(
+                x, kernel, params.get("bias"),
+                kernel_size=kernel_size, groups=groups,
+                gelu_approx=is_gelu_approx or x.dtype == jnp.bfloat16,
+            )
     pad = kernel_size // 2
     y = conv1d(
         x,
