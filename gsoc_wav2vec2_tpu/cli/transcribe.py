@@ -25,6 +25,15 @@ def main() -> None:
     parser.add_argument("--model_dir", required=True, type=str)
     parser.add_argument("files", nargs="+")
     parser.add_argument("--sample_rate", type=int, default=16000)
+    parser.add_argument(
+        "--chunk_samples", type=int, default=246000,
+        help="long-form window size; audio longer than this is transcribed "
+             "in overlapping chunks (the reference truncates instead)",
+    )
+    parser.add_argument(
+        "--context_samples", type=int, default=16000,
+        help="overlap context on each side of a long-form chunk",
+    )
     args = parser.parse_args()
 
     model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
@@ -36,7 +45,11 @@ def main() -> None:
         if rate != args.sample_rate:
             raise ValueError(f"{path}: sample rate {rate} != {args.sample_rate}")
         speech = np.asarray(processor(audio), np.float32)
-        text = evaluator.predict_batch(speech[None, :])[0]
+        text = evaluator.transcribe_long(
+            speech,
+            chunk_samples=args.chunk_samples,
+            context_samples=args.context_samples,
+        )
         print(json.dumps({"file": path, "transcription": text}))
 
 

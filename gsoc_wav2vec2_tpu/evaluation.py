@@ -35,6 +35,35 @@ def default_buckets(max_len: int = 400000, num: int = 8) -> List[int]:
     return [int(np.ceil(e / 16000) * 16000) for e in edges]
 
 
+def plan_chunks(total_len: int, chunk: int, context: int, conv_output_length):
+    """Window plan for long-form transcription.
+
+    Returns [(sample_start, keep_frame_lo, keep_frame_hi)] such that windows
+    of `chunk` samples starting at `sample_start` cover the waveform, each
+    overlapping its neighbours by `context` samples on both sides, and the
+    kept frame ranges tile the audio without double-counting: a window keeps
+    frames [frames(context), frames(context + stride)) except the first
+    (keeps from 0) and the last (keeps to its true end).
+    """
+    if chunk <= 2 * context:
+        raise ValueError(f"chunk {chunk} must exceed 2x context {context}")
+    stride = chunk - 2 * context
+    f = lambda n: int(conv_output_length(int(n)))
+    plan = []
+    start = 0  # center-region start (samples)
+    while start < total_len:
+        win_start = max(0, start - context)
+        center_end = min(start + stride, total_len)
+        keep_lo = f(start - win_start) if start > 0 else 0
+        if center_end < total_len:
+            keep_hi = f(center_end - win_start)
+        else:
+            keep_hi = f(min(total_len - win_start, chunk))
+        plan.append((win_start, keep_lo, keep_hi))
+        start = center_end
+    return plan
+
+
 class GreedyCTCEvaluator:
     """Greedy-decode WER evaluation for `Wav2Vec2ForCTC` parameters.
 
@@ -109,6 +138,49 @@ class GreedyCTCEvaluator:
         ]
 
     # -- the three evaluation modes --------------------------------------
+
+    def transcribe_long(
+        self,
+        audio: np.ndarray,
+        chunk_samples: int = 246000,
+        context_samples: int = 16000,
+    ) -> str:
+        """Transcribe audio of ANY length by chunking with overlap.
+
+        The reference truncates everything to `audio_maxlen`
+        (`data_utils.py:75-78`) and pads eval inputs to one fixed shape —
+        long-form audio is simply cut off.  Here the waveform is split into
+        fixed-size windows that overlap by `context_samples` on each side;
+        every window is one compiled shape, the frame predictions of each
+        window's *center* region are kept (`plan_chunks`), and the greedy
+        CTC collapse runs over the concatenated frame ids, so repeats across
+        a boundary merge exactly like repeats inside a window.
+        """
+        audio = np.asarray(audio, np.float32)
+        if len(audio) <= chunk_samples:
+            return self.predict_batch(audio[None, :])[0]
+        plan = plan_chunks(
+            len(audio), chunk_samples, context_samples,
+            self.config.conv_output_length,
+        )
+        ids: List[np.ndarray] = []
+        for start, keep_lo, keep_hi in plan:
+            chunk = audio[start : start + chunk_samples]
+            true_len = len(chunk)
+            if true_len < chunk_samples:
+                chunk = np.pad(chunk, (0, chunk_samples - true_len))
+            if self.use_attention_mask:
+                mask = (np.arange(chunk_samples) < true_len).astype(np.float32)
+                preds, _ = self._step(True)(
+                    self.params, jnp.asarray(chunk[None, :]),
+                    jnp.asarray(mask[None, :]),
+                )
+            else:
+                preds, _ = self._step(False)(
+                    self.params, jnp.asarray(chunk[None, :])
+                )
+            ids.append(np.asarray(preds)[0, keep_lo:keep_hi])
+        return self.tokenizer.decode(np.concatenate(ids))
 
     def evaluate_padded(
         self,

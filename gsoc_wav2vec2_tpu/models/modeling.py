@@ -21,6 +21,7 @@ TPU-first design choices (vs. the reference's Keras graph):
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 
@@ -176,6 +177,7 @@ def feature_encoder_forward(
     *,
     training: bool = False,
     frozen: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """7× strided conv blocks over the raw waveform.
 
@@ -206,18 +208,23 @@ def feature_encoder_forward(
     ):
         p0, p1 = params["conv_layers"][0], params["conv_layers"][1]
         if config.feature_extractor_norm_type == "group":
-            x = conv_frontend.fused_conv01(
+            fused = functools.partial(
+                conv_frontend.fused_conv01, eps=1e-5,
+                gelu_approx=True,  # == ops.basic.gelu's bf16 path
+            )
+            args = (
                 waveform,
                 p0["conv"]["kernel"],
                 p0["layer_norm"]["gamma"],
                 p0["layer_norm"]["beta"],
                 p1["conv"]["kernel"],
-                eps=1e-5,
-                gelu_approx=True,  # == ops.basic.gelu's bf16 path
             )
         else:  # robust/large family: LayerNorm (+ bias) on both layers
             zeros = jnp.zeros_like(p0["layer_norm"]["gamma"])
-            x = conv_frontend.fused_conv01_robust(
+            fused = functools.partial(
+                conv_frontend.fused_conv01_robust, eps=1e-5, gelu_approx=True
+            )
+            args = (
                 waveform,
                 p0["conv"]["kernel"],
                 p0["conv"].get("bias", zeros),
@@ -227,9 +234,15 @@ def feature_encoder_forward(
                 p1["conv"].get("bias", zeros),
                 p1["layer_norm"]["gamma"],
                 p1["layer_norm"]["beta"],
-                eps=1e-5,
-                gelu_approx=True,
             )
+        if mesh is not None and mesh.size > 1:
+            # per-shard kernel instances: GSPMD cannot partition the opaque
+            # custom call (same treatment as flash attention)
+            from ..parallel.mesh import shard_map_batch
+
+            x = shard_map_batch(fused, mesh, len(args))(*args)
+        else:
+            x = fused(*args)
         start = 2
     else:
         x = waveform[:, :, None].astype(compute_dtype)
@@ -340,6 +353,7 @@ def encoder_forward(
         config.num_conv_pos_embedding_groups,
         config.is_gelu_approx,
         training=training,
+        mesh=mesh,
     )
 
     prenorm = config.attention_norm_type == "prenorm"
@@ -414,7 +428,7 @@ def wav2vec2_forward(
     frontend_frozen = "feature_extractor" in frozen or "wav2vec2" in frozen
     x = feature_encoder_forward(
         params["feature_extractor"], config, batch, compute_dtype,
-        training=training, frozen=frontend_frozen,
+        training=training, frozen=frontend_frozen, mesh=mesh,
     )
     if frontend_frozen:
         x = jax.lax.stop_gradient(x)

@@ -76,6 +76,7 @@ def pos_conv_embed(
     groups: int,
     is_gelu_approx: bool = False,
     training: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """Convolutional relative positional embedding.
 
@@ -99,6 +100,9 @@ def pos_conv_embed(
         and jax.default_backend() == "tpu"
         and x.dtype == jnp.bfloat16
         and kernel_size % 2 == 0
+        # under a multi-device mesh GSPMD would gather the opaque custom
+        # call onto every device; the XLA conv partitions fine there
+        and (mesh is None or mesh.size == 1)
         and os.environ.get("W2V2_FUSED_POS_CONV", "1") != "0"
     ):
         from .pallas.pos_conv import TAP_BLOCK, pos_conv_fused

@@ -59,3 +59,21 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_map_batch(fn, mesh: Mesh, num_args: int):
+    """Wrap a batch-parallel function for per-shard execution on `mesh`.
+
+    The first argument is sharded over the data axis (leading dim); the
+    remaining `num_args - 1` arguments are replicated.  Used to partition
+    Pallas kernels — opaque custom calls that GSPMD would otherwise gather
+    onto every device — whose math is independent per batch row (the conv
+    front-end, the positional conv).  Along the model axis the inputs are
+    replicated, so each model shard recomputes the same thing XLA's
+    replicated lowering would.
+    """
+    in_specs = (P(DATA_AXIS),) + (P(),) * (num_args - 1)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )

@@ -125,3 +125,32 @@ def test_fused_conv01_robust_matches_xla(length):
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
     assert np.abs(got - want).mean() < 5e-3
+
+
+def test_fused_conv01_shard_mapped_over_mesh():
+    """Per-shard kernel instances under a ("data", "model") mesh (the
+    multi-chip path `feature_encoder_forward` takes) must equal the
+    single-device kernel."""
+    import functools
+
+    from gsoc_wav2vec2_tpu.parallel.mesh import make_mesh, shard_map_batch
+
+    c = 128
+    rng = jax.random.PRNGKey(9)
+    k = jax.random.split(rng, 5)
+    waveform = jax.random.normal(k[0], (8, 24000), jnp.float32)
+    w0 = jax.random.normal(k[1], (10, 1, c), jnp.float32) * 0.3
+    w1 = jax.random.normal(k[2], (3, c, c), jnp.float32) * 0.05
+    gamma = 1.0 + 0.1 * jax.random.normal(k[3], (c,), jnp.float32)
+    beta = 0.1 * jax.random.normal(k[4], (c,), jnp.float32)
+
+    mesh = make_mesh(data=4, model=2)
+    fused = functools.partial(fused_conv01, eps=1e-5, gelu_approx=True,
+                              interpret=True)
+    got = shard_map_batch(fused, mesh, 5)(waveform, w0, gamma, beta, w1)
+    want = fused(waveform, w0, gamma, beta, w1)
+    # per-shard compilation reassociates a few bf16 ops: ulp-level noise on
+    # a fraction of elements is expected, identical math otherwise
+    g, w = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    np.testing.assert_allclose(g, w, atol=0.02)
+    assert np.abs(g - w).mean() < 1e-5

