@@ -1,7 +1,11 @@
-"""CLI: export a checkpoint as a serialized StableHLO serving artifact.
+"""CLI: export a checkpoint for serving.
 
 Equivalent of the reference's `src/export2hub.py` (fixed-seqlen SavedModel
-for TFHub), with the same flags; see `export/stablehlo.py` for the format.
+for TFHub), with the same flags.  Two formats:
+  * `--format stablehlo` (default): portable `jax.export` artifact with a
+    symbolic batch dimension (`export/stablehlo.py`);
+  * `--format saved_model`: a literal TF SavedModel via jax2tf
+    (`export/savedmodel.py`) — what the reference published to TFHub.
 
 Usage:
     python -m gsoc_wav2vec2_tpu.cli.export \
@@ -26,21 +30,35 @@ def main() -> None:
     parser.add_argument("--with_lm_head", action=argparse.BooleanOptionalAction,
                         default=True)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--format", type=str, default="stablehlo",
+                        choices=["stablehlo", "saved_model"])
     args = parser.parse_args()
 
     cls = Wav2Vec2ForCTC if args.with_lm_head else Wav2Vec2Model
     model = cls.from_pretrained(args.model_id)
     import jax.numpy as jnp
 
-    path = export_model(
-        model.config,
-        model.params,
-        args.saved_model_dir,
-        seqlen=args.seqlen,
-        batch_size=args.batch_size or None,
-        with_lm_head=args.with_lm_head,
-        compute_dtype=getattr(jnp, args.compute_dtype),
-    )
+    if args.format == "saved_model":
+        from ..export.savedmodel import export_saved_model
+
+        path = export_saved_model(
+            model.config,
+            model.params,
+            args.saved_model_dir,
+            seqlen=args.seqlen,
+            with_lm_head=args.with_lm_head,
+            compute_dtype=getattr(jnp, args.compute_dtype),
+        )
+    else:
+        path = export_model(
+            model.config,
+            model.params,
+            args.saved_model_dir,
+            seqlen=args.seqlen,
+            batch_size=args.batch_size or None,
+            with_lm_head=args.with_lm_head,
+            compute_dtype=getattr(jnp, args.compute_dtype),
+        )
     print(f"exported to {path}")
 
 

@@ -529,12 +529,24 @@ class _PretrainedMixin:
     config: Wav2Vec2Config
     params: dict
 
-    def save_pretrained(self, save_dir: str) -> None:
+    def save_pretrained(self, save_dir: str, save_h5: bool = False) -> None:
+        """Write config.json + native msgpack weights; `save_h5=True` also
+        writes a reference-compatible `tf_model.h5` so the reference's Keras
+        `from_pretrained` can load the result directly (the switch-back
+        path; reference `modeling.py:22-27`)."""
         from flax import serialization
 
         self.config.save_pretrained(save_dir)
         with open(os.path.join(save_dir, JAX_WEIGHTS_NAME), "wb") as f:
             f.write(serialization.to_bytes(self.params))
+        if save_h5:
+            from ..convert.jax_to_h5 import save_h5_params
+
+            save_h5_params(
+                self.params, self.config,
+                os.path.join(save_dir, "tf_model.h5"),
+                with_lm_head=self._with_lm_head,
+            )
 
     def push_to_hub(self, directory: str, model_id: str):
         try:

@@ -83,3 +83,48 @@ def test_exported_artifact_runs_without_model_code(tmp_path, model):
         exported = jax_export.deserialize(f.read())
     out = exported.call(params, jnp.zeros((1, SEQLEN), jnp.float32))
     assert np.asarray(out).shape[0] == 1
+
+
+def test_saved_model_export_roundtrip(tmp_path):
+    """TF SavedModel export (the literal export2hub analog): load with
+    plain TensorFlow — no model code — and match the live JAX forward
+    (mirrors the reference's TFhubTester, `tests/test_wav2vec2.py:285-326`)."""
+    pytest.importorskip("tensorflow")
+    import tensorflow as tf
+
+    from gsoc_wav2vec2_tpu.export.savedmodel import export_saved_model
+    from gsoc_wav2vec2_tpu.models.config import Wav2Vec2Config
+
+    config = Wav2Vec2Config(
+        hidden_size=64,
+        num_heads=4,
+        num_layers=2,
+        intermediate_size=128,
+        filter_sizes=[32, 32],
+        kernal_sizes=[10, 3],
+        strides=[5, 2],
+        dropout=0.0,
+        apply_spec_augment=False,
+    )
+    from gsoc_wav2vec2_tpu.models.modeling import (
+        init_wav2vec2_for_ctc_params,
+        wav2vec2_for_ctc_forward,
+    )
+
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
+    seqlen = 16000
+    d = str(tmp_path / "sm")
+    export_saved_model(
+        config, params, d, seqlen=seqlen, platforms=("cpu",)
+    )
+
+    speech = np.random.RandomState(0).randn(2, seqlen).astype(np.float32)
+    want = np.asarray(
+        wav2vec2_for_ctc_forward(
+            params, config, jnp.asarray(speech), training=False
+        ),
+        np.float32,
+    )
+    loaded = tf.saved_model.load(d)
+    got = loaded(tf.constant(speech)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)

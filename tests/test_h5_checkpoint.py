@@ -101,3 +101,50 @@ def test_h5_missing_variable_raises(reference_h5, tmp_path):
 
     with pytest.raises((KeyError, ValueError)):
         Wav2Vec2ForCTC.from_pretrained(broken_dir)
+
+
+def test_reference_loads_our_h5(tmp_path):
+    """The switch-back path: a model saved HERE with `save_h5=True` must
+    load through the REFERENCE's Keras `from_pretrained` and reproduce our
+    logits — the inverse of `test_from_pretrained_reads_reference_h5`."""
+    import os
+
+    import jax.numpy as jnp
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
+
+    config = Wav2Vec2Config(
+        hidden_size=64,
+        num_heads=4,
+        num_layers=2,
+        intermediate_size=128,
+        filter_sizes=[32] * 7,
+        kernal_sizes=[10, 3, 3, 3, 3, 2, 2],
+        strides=[5, 2, 2, 2, 2, 2, 2],
+        dropout=0.0,
+        apply_spec_augment=False,
+    )
+    model = Wav2Vec2ForCTC(config, seed=3)
+    save_dir = str(tmp_path / "ours")
+    model.save_pretrained(save_dir, save_h5=True)
+    assert os.path.isfile(os.path.join(save_dir, "tf_model.h5"))
+
+    speech = np.random.RandomState(1).randn(2, SEQLEN).astype(np.float32)
+    ours = np.asarray(
+        model(jnp.asarray(speech), training=False), np.float32
+    )
+
+    os.environ["TF_USE_LEGACY_KERAS"] = "1"
+    sys.path.insert(0, REF_SRC)
+    try:
+        import tensorflow as tf
+        from wav2vec2 import Wav2Vec2ForCTC as RefForCTC
+
+        ref_model = RefForCTC.from_pretrained(
+            save_dir, input_shape=(1, SEQLEN)
+        )
+        theirs = ref_model(tf.constant(speech), training=False).numpy()
+    finally:
+        sys.path.remove(REF_SRC)
+
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
