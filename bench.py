@@ -150,20 +150,21 @@ def main() -> None:
 
     rtf = _bench_inference(config, params)
     extra = {}
+    # export first: the train step donates (and thus consumes) `params`
+    try:
+        export_ms, live_ms = _bench_export(config, params)
+        extra["export_artifact_ms_1x50000"] = round(export_ms, 2)
+        extra["live_ms_1x50000"] = round(live_ms, 2)
+    except Exception as e:  # secondary metric must not kill the headline
+        extra["export_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         train_ms, params = _bench_train_step(config, params)
         extra["train_ms_per_step_b32_246k_remat"] = round(train_ms, 1)
         extra["train_audio_sec_per_sec"] = round(
             TRAIN_BATCH * AUDIO_LEN / SAMPLE_RATE / (train_ms / 1000), 0
         )
-    except Exception as e:  # secondary metric must not kill the headline
-        extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        export_ms, live_ms = _bench_export(config, params)
-        extra["export_artifact_ms_1x50000"] = round(export_ms, 2)
-        extra["live_ms_1x50000"] = round(live_ms, 2)
     except Exception as e:
-        extra["export_error"] = f"{type(e).__name__}: {e}"[:200]
+        extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(

@@ -5,7 +5,12 @@ Replaces the reference's two evaluation notebooks
 and `WER_6.ipynb` — constant pad 246000 under jit) with one jitted harness
 offering three modes: `padded` (the reference's fast path), `bucketed`
 (few compiled shapes, minimal padding — recovers no-padding accuracy), and
-`single` (one shape per sample; exact no-padding reference mode, slow).
+`single` (batch-1 per sample, the reference WER_3 mode).  By default
+`single` rounds each length up to the next `--round_to` samples (≤0.1 s of
+padding) to bound XLA compiles; for base-family models (no attention mask)
+that padding does enter attention, so pass `--round_to 1` to reproduce the
+reference's bit-exact no-padding numbers (at one compile per distinct
+length).
 
 Usage:
     python -m gsoc_wav2vec2_tpu.cli.evaluate --model_dir <dir> \
@@ -43,9 +48,12 @@ def main() -> None:
     parser.add_argument(
         "--round_to", type=int, default=1600,
         help="single mode: round lengths up to this multiple (samples) to "
-             "bound XLA compiles — test-clean has ~2600 distinct lengths, "
-             "one compile each at 0; 1600 ≈ 0.1 s of padding caps it at "
-             "~220 shapes (padding frames are dropped before decode)",
+             "bound XLA compiles — test-clean has ~2600 distinct lengths; "
+             "1600 ≈ 0.1 s of padding caps it at ~220 shapes. NOTE: for "
+             "base models (no attention mask) the padding perturbs "
+             "attention slightly; use 1 for the bit-exact no-padding "
+             "reference mode (decode-side frame truncation applies either "
+             "way)",
     )
     args = parser.parse_args()
 
@@ -84,12 +92,15 @@ def main() -> None:
         score, n = wer(refs, hyps), len(refs)
     elapsed = time.time() - start
 
-    print(json.dumps({
+    report = {
         "wer": round(score, 5),
         "num_samples": n,
         "mode": args.mode,
         "seconds": round(elapsed, 2),
-    }))
+    }
+    if args.mode == "single":
+        report["round_to"] = args.round_to
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

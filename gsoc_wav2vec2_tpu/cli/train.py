@@ -364,6 +364,15 @@ def main(args: TrainingArgs) -> None:
 
     model = _build_model(args)
     config, params = model.config, model.params
+    if args.model_axis > 1 and (
+        config.num_heads % args.model_axis
+        or config.intermediate_size % args.model_axis
+    ):
+        raise ValueError(
+            f"--model_axis {args.model_axis} must divide num_heads "
+            f"({config.num_heads}) and intermediate_size "
+            f"({config.intermediate_size}) for tensor-parallel sharding"
+        )
 
     train_loader = _loader(args, args.train_tfrecords, args.train_dir)
     val_loader = _loader(args, args.val_tfrecords, args.val_dir)

@@ -125,16 +125,15 @@ def save_h5_params(
     ]
     groups.append(("wav2vec2", w_entries))
     groups.append(("dropout", []))
-    if with_lm_head:
-        groups.append(
-            (
-                "lm_head",
-                [
-                    (f"{root}/lm_head/kernel:0", _lookup(params, "lm_head/kernel")),
-                    (f"{root}/lm_head/bias:0", _lookup(params, "lm_head/bias")),
-                ],
-            )
+    groups.append(
+        (
+            "lm_head",
+            [
+                (f"{root}/lm_head/kernel:0", _lookup(params, "lm_head/kernel")),
+                (f"{root}/lm_head/bias:0", _lookup(params, "lm_head/bias")),
+            ],
         )
+    )
 
     with h5py.File(path, "w") as f:
         f.attrs["backend"] = "tensorflow"

@@ -335,11 +335,22 @@ class LibriSpeechDataLoader(CommonDataLoader):
         for start in range(0, len(pairs), self._DECODE_CHUNK):
             chunk = pairs[start : start + self._DECODE_CHUNK]
             if chunk and remote.is_remote_path(chunk[0][0]):
-                # remote objects: fetch bytes, decode in-memory
-                decoded = [
-                    native_io.decode_flac_bytes(remote.fetch_bytes(p), name=p)
-                    for p, _ in chunk
-                ]
+                # remote objects: parallel GETs (fs.cat), then concurrent
+                # in-memory decodes (ctypes releases the GIL) — keeps the
+                # local branch's "fast path" property over the network
+                from concurrent.futures import ThreadPoolExecutor
+
+                paths = [p for p, _ in chunk]
+                blobs = remote.fetch_bytes_batch(paths)
+                with ThreadPoolExecutor(max_workers=8) as pool:
+                    decoded = list(
+                        pool.map(
+                            lambda pb: native_io.decode_flac_bytes(
+                                pb[1], name=pb[0]
+                            ),
+                            zip(paths, blobs),
+                        )
+                    )
             else:
                 # C++ thread pool decodes the chunk concurrently (GIL released)
                 decoded = native_io.decode_flac_batch([p for p, _ in chunk])

@@ -79,6 +79,17 @@ def fetch_bytes(url: str) -> bytes:
         return f.read()
 
 
+def fetch_bytes_batch(urls) -> list:
+    """Read many remote objects concurrently (`fs.cat` issues the GETs in
+    parallel); returns bytes in input order."""
+    if not urls:
+        return []
+    fs, first = _fs_for(urls[0])
+    paths = [_fs_for(u)[1] for u in urls]
+    out = fs.cat(paths)
+    return [out[p] for p in paths]
+
+
 def read_tfrecords_any(path: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """`native_io.read_tfrecords` for local paths; fetch+parse for URLs."""
     if is_remote_path(path):

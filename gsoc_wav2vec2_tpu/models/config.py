@@ -87,12 +87,25 @@ class Wav2Vec2Config:
     # -- persistence ------------------------------------------------------
 
     def save_pretrained(self, save_dir: str) -> None:
+        if "://" in save_dir:
+            # remote (gs://...) destination: os.makedirs would create a
+            # literal local "gs:/" directory
+            import fsspec
+
+            with fsspec.open(f"{save_dir.rstrip('/')}/config.json", "w") as f:
+                json.dump(asdict(self), f)
+            return
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "config.json"), "w") as f:
             json.dump(asdict(self), f)
 
     @classmethod
     def from_json(cls, path: str) -> "Wav2Vec2Config":
+        if "://" in path:
+            import fsspec
+
+            with fsspec.open(path, "r") as f:
+                return cls(**json.load(f))
         with open(path, "r") as f:
             config_dict = json.load(f)
         return cls(**config_dict)

@@ -533,20 +533,45 @@ class _PretrainedMixin:
         """Write config.json + native msgpack weights; `save_h5=True` also
         writes a reference-compatible `tf_model.h5` so the reference's Keras
         `from_pretrained` can load the result directly (the switch-back
-        path; reference `modeling.py:22-27`)."""
+        path; reference `modeling.py:22-27`).  A `gs://`-style `save_dir`
+        goes through fsspec (the multi-host trainer saves the final model
+        to the checkpoint bucket)."""
         from flax import serialization
 
         self.config.save_pretrained(save_dir)
-        with open(os.path.join(save_dir, JAX_WEIGHTS_NAME), "wb") as f:
-            f.write(serialization.to_bytes(self.params))
+        blob = serialization.to_bytes(self.params)
+        if "://" in save_dir:
+            import fsspec
+
+            base = save_dir.rstrip("/")
+            with fsspec.open(f"{base}/{JAX_WEIGHTS_NAME}", "wb") as f:
+                f.write(blob)
+        else:
+            with open(os.path.join(save_dir, JAX_WEIGHTS_NAME), "wb") as f:
+                f.write(blob)
         if save_h5:
+            import tempfile
+
             from ..convert.jax_to_h5 import save_h5_params
 
-            save_h5_params(
-                self.params, self.config,
-                os.path.join(save_dir, "tf_model.h5"),
-                with_lm_head=self._with_lm_head,
-            )
+            if "://" in save_dir:
+                import fsspec
+
+                with tempfile.NamedTemporaryFile(suffix=".h5") as tmp:
+                    save_h5_params(
+                        self.params, self.config, tmp.name,
+                        with_lm_head=self._with_lm_head,
+                    )
+                    with open(tmp.name, "rb") as src, fsspec.open(
+                        f"{save_dir.rstrip('/')}/tf_model.h5", "wb"
+                    ) as dst:
+                        dst.write(src.read())
+            else:
+                save_h5_params(
+                    self.params, self.config,
+                    os.path.join(save_dir, "tf_model.h5"),
+                    with_lm_head=self._with_lm_head,
+                )
 
     def push_to_hub(self, directory: str, model_id: str):
         try:
@@ -568,6 +593,8 @@ class _PretrainedMixin:
         (`modeling.py:78-80`).  `input_shape` is accepted and ignored — JAX
         init is shape-polymorphic.
         """
+        if "://" in model_id:
+            return cls._from_remote(model_id, **config_kwargs)
         save_dir = model_id
         if not os.path.isdir(save_dir):
             save_dir = _download_from_hub(model_id)
@@ -615,6 +642,25 @@ class _PretrainedMixin:
             "Total number of loaded variables:",
             len(jax.tree_util.tree_leaves(model.params)),
         )
+        return model
+
+    @classmethod
+    def _from_remote(cls, url: str, **config_kwargs):
+        """Load from an object store (gs://...): config.json + native
+        msgpack weights via fsspec.  The H5/torch fallbacks stay
+        local-only — convert once, then serve from the bucket."""
+        import fsspec
+        from flax import serialization
+
+        config_kwargs.pop("input_shape", None)
+        base = url.rstrip("/")
+        config = Wav2Vec2Config.from_json(f"{base}/config.json")
+        if config.is_robust:
+            config = RobustWav2Vec2Config(**{k: v for k, v in config.__dict__.items()})
+        config = config.replace(**config_kwargs)
+        model = cls(config, seed=0)
+        with fsspec.open(f"{base}/{JAX_WEIGHTS_NAME}", "rb") as f:
+            model.params = serialization.from_bytes(model.params, f.read())
         return model
 
 

@@ -82,10 +82,25 @@ def group_norm(
     return y.astype(dtype)
 
 
+def murmur_mix(x: jax.Array) -> jax.Array:
+    """Murmur3-style 32-bit avalanche finalizer (pure uint32 VPU ops).
+
+    Shared by the XLA-side dropout below and the Pallas flash-attention
+    kernel's in-kernel dropout — one definition, so the two mask
+    constructions can never silently diverge.
+    """
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
 def _hash_keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
-    """Counter-based keep-mask: murmur3-style integer mix of
-    (seed, linear element index) — the same construction as the flash
-    kernel's in-kernel dropout (`ops/pallas/flash_attention.py`).
+    """Counter-based keep-mask: `murmur_mix` of (seed, linear element
+    index) — the same construction as the flash kernel's in-kernel dropout
+    (`ops/pallas/flash_attention.py`).
 
     Why not `jax.random.bernoulli`: threefry costs ~20 VPU ops per word
     plus a materialised uniform buffer; at the training recipe shape the
@@ -98,12 +113,7 @@ def _hash_keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
     for d in shape:
         n *= d
     idx = jax.lax.iota(jnp.uint32, n)
-    x = idx ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761))
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
+    x = murmur_mix(idx ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761)))
     threshold = jnp.uint32(int((1.0 - rate) * float(2**32 - 1)))
     return (x < threshold).reshape(shape)
 

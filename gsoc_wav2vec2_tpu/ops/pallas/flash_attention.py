@@ -53,15 +53,12 @@ def _dropout_mask(shape, rate: float, seed, row_offset):
     global row so differently-blocked kernels agree.  Pure VPU integer ops,
     ~7 instructions per element.
     """
+    from ..basic import murmur_mix
+
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row_offset)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = rows * jnp.uint32(shape[1]) + cols
-    x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761))
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
+    x = murmur_mix(x ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761)))
     threshold = jnp.uint32(int((1.0 - rate) * float(2**32 - 1)))
     return x < threshold
 

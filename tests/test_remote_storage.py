@@ -203,3 +203,33 @@ def test_checkpoint_manager_preserves_remote_urls(monkeypatch, tmp_path):
     CheckpointManager(local).close()
     assert captured["directory"] == os.path.abspath(local)
     assert os.path.isdir(local)
+
+
+def test_save_and_load_pretrained_remote(memfs):
+    """The trainer's final `save_pretrained(gs://...)` must write to the
+    bucket (not a literal local 'gs:/' directory) and load back via
+    `from_pretrained` — the multi-host final-artifact path."""
+    import jax
+    import numpy as np_
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
+
+    config = Wav2Vec2Config(
+        hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    model = Wav2Vec2ForCTC(config, seed=5)
+    url = "memory://bucket/run/final"
+    model.save_pretrained(url)
+
+    assert memfs.exists("/bucket/run/final/config.json")
+    assert memfs.exists("/bucket/run/final/jax_model.msgpack")
+    assert not os.path.exists("memory:")  # no mangled local dir
+
+    reloaded = Wav2Vec2ForCTC.from_pretrained(url)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(model.params),
+        jax.tree_util.tree_leaves_with_path(reloaded.params),
+    ):
+        assert pa == pb
+        np_.testing.assert_array_equal(np_.asarray(a), np_.asarray(b))
