@@ -81,3 +81,46 @@ def test_transcribe_long_boundary_consistency(tiny):
     whole = ev.predict_batch(audio[None, :])[0]
     chunked = ev.transcribe_long(audio, chunk_samples=24000)  # no split
     assert chunked == whole
+
+
+def test_transcribe_cli_end_to_end(tmp_path):
+    """`cli.transcribe` subprocess: FLAC in, JSON transcription out —
+    including the long-form chunked path (--chunk_samples below the clip
+    length)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from flac_encoder import encode_flac
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
+
+    config = Wav2Vec2Config(
+        hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    model_dir = str(tmp_path / "model")
+    Wav2Vec2ForCTC(config, seed=0).save_pretrained(model_dir)
+
+    sig = np.clip(
+        1800 * np.sin(np.arange(24000) / 6.0), -32768, 32767
+    ).astype(np.int64)
+    flac = tmp_path / "clip.flac"
+    flac.write_bytes(encode_flac(sig, subframe_kind="fixed", order=2, rice_param=7))
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.transcribe",
+            "--model_dir", model_dir, "--chunk_samples", "9000",
+            "--context_samples", "1000", str(flac),
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(result.stdout.strip().splitlines()[-1])
+    assert report["file"] == str(flac)
+    assert isinstance(report["transcription"], str)

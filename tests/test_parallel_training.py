@@ -194,3 +194,50 @@ def test_train_step_flash_attention_matches_xla_under_tp(tiny_config):
     # both paths share the same rng stream; attention-prob dropout (0.1)
     # differs between the in-kernel mask and the XLA mask, so compare loosely
     np.testing.assert_allclose(flash_losses, xla_losses, rtol=0.05)
+
+
+def test_robust_family_train_step():
+    """The robust/large geometry (pre-norm, LayerNorm conv stack, conv
+    biases, attention masks) through the full sharded train step — the
+    XLSR-53 training path."""
+    from gsoc_wav2vec2_tpu.models.config import RobustWav2Vec2Config
+
+    config = RobustWav2Vec2Config(
+        hidden_size=64,
+        num_heads=4,
+        num_layers=2,
+        intermediate_size=128,
+        filter_sizes=[32, 32],
+        kernal_sizes=[10, 3],
+        strides=[5, 2],
+    )
+    assert config.attention_norm_type == "prenorm"
+    assert config.conv_bias
+    mesh = make_mesh(data=4, model=2)
+    params = shard_params(
+        init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config), mesh
+    )
+    tx = create_optimizer(1e-3)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    global_batch = 8
+    step = make_train_step(
+        config, tx, division_factor=global_batch,
+        with_attention_mask=True, compute_dtype=jnp.float32, mesh=mesh,
+        frozen=("feature_extractor",),
+    )
+    batch = _make_batch(jax.random.PRNGKey(1), global_batch)
+    # ragged mask: half the batch is shorter
+    mask = np.array(batch["attention_mask"])  # writable copy
+    mask[::2, 3000:] = 0.0
+    batch["attention_mask"] = jnp.asarray(mask)
+    rng = jax.device_put(jax.random.PRNGKey(2), replicated(mesh))
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
