@@ -99,10 +99,15 @@ class TrainingArgs:
     resume: Optional[str] = None
 
     def __post_init__(self):
-        # env-var deployment hooks, as in the reference (`main.py:24-27`)
+        # env-var deployment hooks, as in the reference (`main.py:24-27`):
+        # DATA_BUCKET_NAME (tfrecord bucket), CKPT_BUCKET_NAME (checkpoint
+        # bucket), DUMMY_DATA_PATH (local raw corpus for smoke runs)
         bucket = os.environ.get("DATA_BUCKET_NAME")
         if bucket and not (self.train_tfrecords or self.train_dir):
             self.train_tfrecords = [os.path.join(bucket, "train", "*.tfrecord")]
+        dummy = os.environ.get("DUMMY_DATA_PATH")
+        if dummy and not (self.train_tfrecords or self.train_dir):
+            self.train_dir = dummy
         ckpt_bucket = os.environ.get("CKPT_BUCKET_NAME")
         if ckpt_bucket:
             self.ckpt_dir = ckpt_bucket

@@ -111,3 +111,17 @@ def test_processor_missing_vocab_path_fails_loudly(tmp_path):
 
     with pytest.raises(OSError):
         Wav2Vec2Processor(is_tokenizer=True, vocab_path=str(tmp_path / "nope.json"))
+
+
+def test_dummy_data_path_env_hook(monkeypatch, tmp_path):
+    """Reference `main.py:24-27`: DUMMY_DATA_PATH feeds a local raw corpus
+    when no explicit data flags are given."""
+    from gsoc_wav2vec2_tpu.cli.train import TrainingArgs
+
+    monkeypatch.delenv("DATA_BUCKET_NAME", raising=False)
+    monkeypatch.setenv("DUMMY_DATA_PATH", str(tmp_path))
+    args = TrainingArgs()
+    assert args.train_dir == str(tmp_path)
+    # explicit flags win over the env hook
+    args2 = TrainingArgs(train_dir="/explicit")
+    assert args2.train_dir == "/explicit"
