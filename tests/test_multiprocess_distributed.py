@@ -89,3 +89,102 @@ def test_two_process_cluster(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid}: OK" in out
+
+
+_TRAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    sys.path.insert(0, "/root/repo")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=2, process_id=pid
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config
+    from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
+    from gsoc_wav2vec2_tpu.parallel import (
+        make_mesh, multihost, replicated, shard_params,
+    )
+    from gsoc_wav2vec2_tpu.training import (
+        TrainState, create_optimizer, make_train_step,
+    )
+
+    config = Wav2Vec2Config(
+        hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    mesh = make_mesh(data=4, model=1)
+    params = shard_params(
+        init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config), mesh
+    )
+    tx = create_optimizer(1e-3)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    global_batch = 4
+    step = make_train_step(
+        config, tx, division_factor=global_batch, with_attention_mask=False,
+        compute_dtype=jnp.float32, mesh=mesh,
+    )
+
+    # each host decodes only its slice — same construction as cli.train
+    rng = np.random.default_rng(7)  # SAME data on both hosts via same seed
+    all_speech = rng.standard_normal((global_batch, 4000)).astype(np.float32)
+    all_labels = (rng.integers(1, 31, (global_batch, 8))).astype(np.int32)
+    lo, hi = pid * 2, pid * 2 + 2
+    local = {"speech": all_speech[lo:hi], "labels": all_labels[lo:hi]}
+
+    gbatch = multihost.host_local_batch_to_global(local, mesh)
+    root = jax.device_put(jax.random.PRNGKey(3), replicated(mesh))
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, gbatch, root)
+        losses.append(float(metrics["loss"]))
+    # every host must see the SAME global loss (SPMD over the full batch)
+    print(f"proc {pid} losses: {losses[0]:.6f} {losses[1]:.6f}", flush=True)
+    assert all(np.isfinite(l) for l in losses)
+    print(f"proc {pid}: OK", flush=True)
+    """
+)
+
+
+def test_two_process_training_step(tmp_path):
+    """The trainer's multi-host hot path for real: two processes assemble a
+    global batch from per-host slices and take sharded train steps; both
+    must report the same global loss."""
+    import re
+
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(_TRAIN_WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    losses = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        m = re.search(r"losses: ([\d.]+) ([\d.]+)", out)
+        assert m, out[-1000:]
+        losses.append((float(m.group(1)), float(m.group(2))))
+    assert losses[0] == losses[1], f"hosts disagree on the global loss: {losses}"
