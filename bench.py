@@ -40,6 +40,37 @@ BASELINE_RTF = 3.125 / 0.84  # reference ONNX export, final_report.md:62-67
 TRAIN_BATCH = 32  # reference per-replica batch (`main.py:156`)
 TRAIN_ITERS = 8
 EXPORT_LEN = 50000  # reference ONNX latency shape (wav2vec2_onnx.ipynb)
+PEAK_BF16_FLOPS = 197e12  # TPU v5e bf16 peak (per chip) — the bench target
+
+
+def _train_step_flops(config, batch: int, audio_len: int) -> float:
+    """Analytic model FLOPs per stage-2 optimizer step.
+
+    Counts matmul/conv MACs as 2 FLOPs.  The frozen conv front-end runs
+    forward only (`stop_gradient` at the freeze boundary); every trainable
+    matmul costs ~3x its forward (fwd + dX + dW).  Elementwise/norm work is
+    <1% and ignored — this is the standard MFU convention (no remat
+    recompute counted).
+    """
+    t = audio_len
+    conv = 0
+    cin = 1
+    for f, k, s in zip(config.filter_sizes, config.kernal_sizes, config.strides):
+        t = (t - k) // s + 1
+        conv += 2 * batch * t * k * cin * f
+        cin = f
+    frames, h = t, config.hidden_size
+    proj = 2 * batch * frames * cin * h
+    pos = (
+        2 * batch * frames * config.num_conv_pos_embeddings
+        * (h // config.num_conv_pos_embedding_groups) * h
+    )
+    attn_proj = 4 * 2 * batch * frames * h * h
+    attn_sdp = 2 * 2 * batch * frames * frames * h  # h == heads * head_dim
+    ffn = 2 * 2 * batch * frames * h * config.intermediate_size
+    enc = config.num_layers * (attn_proj + attn_sdp + ffn)
+    head = 2 * batch * frames * h * config.vocab_size
+    return conv + 3.0 * (proj + pos + enc + head)
 
 
 def _bench_inference(config, params):
@@ -96,7 +127,7 @@ def _bench_train_step(config, params):
     )
     step = make_train_step(
         config, tx, division_factor=TRAIN_BATCH, with_attention_mask=False,
-        compute_dtype=jnp.bfloat16, remat=True,
+        compute_dtype=jnp.bfloat16, remat="dots",  # the trainer's default policy
         frozen=("feature_extractor",),
     )
     rng = jax.random.PRNGKey(3)
@@ -162,6 +193,11 @@ def main() -> None:
         extra["train_ms_per_step_b32_246k_remat"] = round(train_ms, 1)
         extra["train_audio_sec_per_sec"] = round(
             TRAIN_BATCH * AUDIO_LEN / SAMPLE_RATE / (train_ms / 1000), 0
+        )
+        extra["train_mfu"] = round(
+            _train_step_flops(config, TRAIN_BATCH, AUDIO_LEN)
+            / (train_ms / 1000) / PEAK_BF16_FLOPS,
+            3,
         )
     except Exception as e:
         extra["train_error"] = f"{type(e).__name__}: {e}"[:200]

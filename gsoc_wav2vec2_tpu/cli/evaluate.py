@@ -32,16 +32,34 @@ from ..utils.metrics import wer
 
 
 def _samples(loader: LibriSpeechDataLoader):
-    for speech, label in loader._raw_samples():
+    """(waveform, reference text) pairs from either source: raw corpora or
+    the same tfrecord shards training consumes (labels are stored
+    tokenised; `group_tokens=False` reverses the tokenizer exactly)."""
+    it = (
+        loader._tfrecord_samples(loader.tfrecords)
+        if loader.from_tfrecords
+        else loader._raw_samples()
+    )
+    for speech, label in it:
         yield speech, loader.tokenizer.decode(label, group_tokens=False)
 
 
 def main() -> None:
     parser = argparse.ArgumentParser("Greedy-CTC WER evaluation")
     parser.add_argument("--model_dir", required=True, type=str)
-    parser.add_argument("--data_dir", required=True, type=str)
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument(
+        "--tfrecords", nargs="*", default=[],
+        help="evaluate the tfrecord shards training consumes instead of a "
+             "raw corpus dir (glob patterns; local or gs://)",
+    )
     parser.add_argument("--mode", choices=["padded", "bucketed", "single"],
                         default="bucketed")
+    parser.add_argument(
+        "--sharded", action="store_true",
+        help="shard eval batches over ALL devices (data-parallel mesh) "
+             "instead of evaluating on one chip",
+    )
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--pad_to", type=int, default=246000)
     parser.add_argument("--limit", type=int, default=0, help="cap sample count")
@@ -57,9 +75,32 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    if bool(args.data_dir) == bool(args.tfrecords):
+        parser.error("pass exactly one of --data_dir / --tfrecords")
+
     model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
-    evaluator = GreedyCTCEvaluator(model.config, model.params)
-    loader = LibriSpeechDataLoader(LibriSpeechDataLoaderArgs(data_dir=args.data_dir))
+    mesh = None
+    if args.sharded:
+        import jax
+
+        from ..parallel import make_mesh, multihost
+
+        multihost.initialize()
+        mesh = make_mesh(model=1)  # every device on the data axis
+        print(f"sharded eval over {jax.device_count()} devices")
+    evaluator = GreedyCTCEvaluator(model.config, model.params, mesh=mesh)
+    if args.tfrecords:
+        from ..data.remote import expand_patterns
+
+        loader = LibriSpeechDataLoader(
+            LibriSpeechDataLoaderArgs(
+                from_tfrecords=True, tfrecords=expand_patterns(args.tfrecords)
+            )
+        )
+    else:
+        loader = LibriSpeechDataLoader(
+            LibriSpeechDataLoaderArgs(data_dir=args.data_dir)
+        )
 
     def sample_iter():
         for i, item in enumerate(_samples(loader)):
@@ -77,6 +118,16 @@ def main() -> None:
             sample_iter(), batch_size=args.batch_size
         )
     else:  # single: the reference's batch-1 no-padding mode (WER_3 notebook)
+        if args.round_to > 1 and not model.config.is_robust:
+            import sys
+
+            print(
+                f"note: --round_to {args.round_to} pads inputs and this "
+                "base-family model takes no attention mask, so padding "
+                "perturbs attention slightly; pass --round_to 1 for the "
+                "reference's bit-exact no-padding WER",
+                file=sys.stderr,
+            )
         refs, hyps = [], []
         for audio, text in sample_iter():
             true_len = len(audio)

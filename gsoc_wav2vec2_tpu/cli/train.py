@@ -77,10 +77,12 @@ class TrainingArgs:
     length_aware_loss: bool = False
     # rematerialise per-layer activations in backward: needed at the
     # reference's 32/chip batch; --no-remat is faster when memory allows.
-    # remat_policy "dots" saves MXU outputs and recomputes only cheap
-    # elementwise ops — close to no-remat speed at a fraction of its memory
+    # Default policy "dots" saves MXU outputs and recomputes only cheap
+    # elementwise ops — measured faster than "full" (274 vs 277 ms/step at
+    # the recipe shape, COMPONENTS.md) at a fraction of no-remat's memory;
+    # "full" (save nothing per layer) remains the minimum-memory fallback
     remat: bool = True
-    remat_policy: str = "full"
+    remat_policy: str = "dots"
 
     train_tfrecords: List[str] = field(default_factory=list)
     val_tfrecords: List[str] = field(default_factory=list)
@@ -260,7 +262,8 @@ def run_stage(
         epoch_batches = 0
         try:
             batches = multihost.lockstep_batches(
-                train_loader(seed=args.seed + epoch, drop_remainder=True)
+                train_loader(seed=args.seed + epoch, drop_remainder=True),
+                num_batches=train_loader.num_batches(drop_remainder=True),
             )
             for batch in batches:
                 epoch_batches += 1
@@ -355,7 +358,10 @@ def evaluate_loss(config, params, loader, args: TrainingArgs, mesh=None) -> floa
 
     losses = [
         float(loss_fn(params, put(batch)))
-        for batch in multihost.lockstep_batches(loader(drop_remainder=True))
+        for batch in multihost.lockstep_batches(
+            loader(drop_remainder=True),
+            num_batches=loader.num_batches(drop_remainder=True),
+        )
     ]
     return float(np.mean(losses)) if losses else float("nan")
 
@@ -441,7 +447,7 @@ def parse_args() -> TrainingArgs:
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--length_aware_loss", action="store_true")
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True)
-    parser.add_argument("--remat_policy", type=str, default="full",
+    parser.add_argument("--remat_policy", type=str, default="dots",
                         choices=["full", "dots"])
     parser.add_argument("--train_tfrecords", nargs="*", default=[])
     parser.add_argument("--val_tfrecords", nargs="*", default=[])

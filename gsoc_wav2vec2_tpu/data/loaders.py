@@ -259,6 +259,7 @@ class LibriSpeechDataLoader(CommonDataLoader):
         self.data_dir = args.data_dir
         self.required_sample_rate = required_sample_rate
         self._num_samples: Optional[int] = None
+        self._pairs_cache: Optional[list] = None
 
     def __call__(self, seed: Optional[int] = None, drop_remainder: bool = True):
         if self.from_tfrecords:
@@ -309,6 +310,8 @@ class LibriSpeechDataLoader(CommonDataLoader):
         return texts
 
     def _matched_files(self):
+        if self._pairs_cache is not None:
+            return self._pairs_cache
         flac_paths = find_files(self.data_dir, ".flac")
         texts = self._collect_transcripts()
         pairs = []
@@ -323,7 +326,27 @@ class LibriSpeechDataLoader(CommonDataLoader):
         self._num_samples = len(pairs)
         if self.shard_count > 1:
             pairs = pairs[self.shard_index :: self.shard_count]
+        # cache the (path, text) list: the walk is deterministic (sorted)
+        # and per-epoch randomisation happens downstream in the reservoir
+        # shuffle, so re-walking every epoch buys nothing
+        self._pairs_cache = pairs
         return pairs
+
+    def num_batches(self, drop_remainder: bool = True) -> Optional[int]:
+        """This host's batch count per epoch, or None when it cannot be
+        known without reading the data (tfrecord shards).
+
+        Raw corpora: every matched (flac, transcript) pair yields exactly
+        one sample, so the count follows from the file walk alone — this is
+        what lets `multihost.lockstep_batches` pre-exchange counts once per
+        epoch instead of allgathering a flag every step.
+        """
+        if self.from_tfrecords:
+            return None
+        n = len(self._matched_files())
+        if drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     # files decoded per native thread-pool call
     _DECODE_CHUNK = 16

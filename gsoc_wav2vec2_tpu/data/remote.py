@@ -81,13 +81,25 @@ def fetch_bytes(url: str) -> bytes:
 
 def fetch_bytes_batch(urls) -> list:
     """Read many remote objects concurrently (`fs.cat` issues the GETs in
-    parallel); returns bytes in input order."""
+    parallel); returns bytes in input order.
+
+    URLs are grouped by filesystem: a mixed-protocol list (e.g. gs:// and
+    s3:// entries interleaved) issues one batched cat per store instead of
+    silently fetching every stripped path from the first URL's store."""
     if not urls:
         return []
-    fs, first = _fs_for(urls[0])
-    paths = [_fs_for(u)[1] for u in urls]
-    out = fs.cat(paths)
-    return [out[p] for p in paths]
+    groups: dict = {}  # fs -> (indices, paths)
+    for i, u in enumerate(urls):
+        fs, path = _fs_for(u)
+        groups.setdefault(fs, ([], []))
+        groups[fs][0].append(i)
+        groups[fs][1].append(path)
+    results: list = [None] * len(urls)
+    for fs, (indices, paths) in groups.items():
+        out = fs.cat(paths)
+        for i, p in zip(indices, paths):
+            results[i] = out[p]
+    return results
 
 
 def read_tfrecords_any(path: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -25,7 +25,7 @@ import numpy as np
 from .data.processor import Wav2Vec2Processor
 from .models.config import Wav2Vec2Config
 from .models.modeling import wav2vec2_for_ctc_forward
-from .utils.metrics import wer
+from .utils.metrics import wer, wer_details
 
 
 def default_buckets(max_len: int = 400000, num: int = 8) -> List[int]:
@@ -35,31 +35,57 @@ def default_buckets(max_len: int = 400000, num: int = 8) -> List[int]:
     return [int(np.ceil(e / 16000) * 16000) for e in edges]
 
 
-def plan_chunks(total_len: int, chunk: int, context: int, conv_output_length):
+def plan_chunks(
+    total_len: int,
+    chunk: int,
+    context: int,
+    conv_output_length,
+    total_stride: Optional[int] = None,
+):
     """Window plan for long-form transcription.
 
     Returns [(sample_start, keep_frame_lo, keep_frame_hi)] such that windows
     of `chunk` samples starting at `sample_start` cover the waveform, each
-    overlapping its neighbours by `context` samples on both sides, and the
-    kept frame ranges tile the audio without double-counting: a window keeps
-    frames [frames(context), frames(context + stride)) except the first
-    (keeps from 0) and the last (keeps to its true end).
+    overlapping its neighbours by ~`context` samples on both sides, and the
+    kept frame ranges tile the audio EXACTLY: window starts are aligned to
+    the conv stack's total stride (`total_stride` samples per output frame),
+    so local frame `j` of a window starting at `s` is global frame
+    `s // total_stride + j`, and junctions are computed once in global frame
+    space — adjacent windows can neither overlap nor gap by a frame (they
+    did when each junction was mapped through the nonlinear
+    `conv_output_length` at sample granularity).  The final window's end
+    still uses `conv_output_length` so pad-influenced tail frames are
+    excluded, matching the unchunked decode.
     """
     if chunk <= 2 * context:
         raise ValueError(f"chunk {chunk} must exceed 2x context {context}")
-    stride = chunk - 2 * context
     f = lambda n: int(conv_output_length(int(n)))
+    if total_stride is None:
+        # infer the frame period: f advances by exactly 1 every
+        # `total_stride` samples, so over a span >> period the ratio rounds
+        # to it exactly (floor effects contribute at most ±1 frame)
+        span = max(chunk, 4096)
+        count = f(2 * span) - f(span)
+        if count <= 0:
+            raise ValueError("conv_output_length produced no frames over a chunk")
+        total_stride = max(1, round(span / count))
+    stride = chunk - 2 * context
     plan = []
     start = 0  # center-region start (samples)
+    prev_boundary = 0  # global frame index where the previous window stopped
     while start < total_len:
         win_start = max(0, start - context)
+        win_start -= win_start % total_stride  # align to the frame grid
+        base_frame = win_start // total_stride
         center_end = min(start + stride, total_len)
-        keep_lo = f(start - win_start) if start > 0 else 0
+        keep_lo = prev_boundary - base_frame
         if center_end < total_len:
-            keep_hi = f(center_end - win_start)
+            keep_hi = min(center_end // total_stride - base_frame, f(chunk))
         else:
             keep_hi = f(min(total_len - win_start, chunk))
-        plan.append((win_start, keep_lo, keep_hi))
+        if keep_hi > keep_lo:
+            plan.append((win_start, keep_lo, keep_hi))
+            prev_boundary = base_frame + keep_hi
         start = center_end
     return plan
 
@@ -69,6 +95,14 @@ class GreedyCTCEvaluator:
 
     Device side: forward + argmax, compiled once per (batch, length) shape.
     Host side: CTC collapse + string join (`Wav2Vec2Processor.decode`).
+
+    `mesh`: an optional ("data", "model") `jax.sharding.Mesh`.  With one,
+    the eval batch is sharded over the data axis so every chip of a slice
+    works during WER eval (the reference — and round 2 here — evaluated on
+    one device while 7/8 idled).  Multi-host: each process feeds its local
+    slice of the batch, decodes its own rows, and the WER aggregates
+    (errors, words) counts with one allgather at the end; `evaluate_padded`
+    keeps hosts in lockstep through uneven shard tails with dummy batches.
     """
 
     def __init__(
@@ -78,6 +112,7 @@ class GreedyCTCEvaluator:
         *,
         compute_dtype=jnp.bfloat16,
         use_attention_mask: Optional[bool] = None,
+        mesh=None,
     ):
         self.config = config
         self.params = params
@@ -86,7 +121,80 @@ class GreedyCTCEvaluator:
         self.use_attention_mask = (
             config.is_robust if use_attention_mask is None else use_attention_mask
         )
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self._jitted = {}
+
+    # -- mesh plumbing ----------------------------------------------------
+
+    @property
+    def _multiprocess(self) -> bool:
+        return self.mesh is not None and jax.process_count() > 1
+
+    def _row_quantum(self) -> int:
+        """Local batch rows must pad to a multiple of this so the global
+        batch divides the mesh's data axis."""
+        if self.mesh is None:
+            return 1
+        import math
+
+        from .parallel.mesh import DATA_AXIS
+
+        data = self.mesh.shape[DATA_AXIS]
+        return max(data // math.gcd(data, jax.process_count()), 1)
+
+    @staticmethod
+    def _local_rows(arr) -> np.ndarray:
+        """This process's rows of a data-sharded global array, in the order
+        this process contributed them."""
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            shards = sorted(
+                arr.addressable_shards,
+                key=lambda s: s.index[0].start or 0,
+            )
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return np.asarray(arr)
+
+    def _lockstep(self, batch_iter, dummy_factory):
+        """Yield (item, is_real); under multi-process SPMD, hosts whose
+        shard ran dry keep feeding dummy batches (results discarded) until
+        every host is done — a lone host skipping a collective would
+        deadlock the pod."""
+        if not self._multiprocess:
+            for item in batch_iter:
+                yield item, True
+            return
+        from jax.experimental import multihost_utils
+
+        it = iter(batch_iter)
+        while True:
+            try:
+                item, have = next(it), 1
+            except StopIteration:
+                item, have = None, 0
+            flags = multihost_utils.process_allgather(np.asarray(have))
+            if int(np.max(flags)) == 0:
+                return
+            yield (item if have else dummy_factory()), bool(have)
+
+    def _aggregate_wer(self, refs, hyps) -> Tuple[float, int]:
+        """Corpus WER over all hosts' shards: local (errors, words, n)
+        counts, one allgather, exact global rate."""
+        errors = words = 0
+        for r, h in zip(refs, hyps):
+            e, w = wer_details(r, h)
+            errors += e
+            words += w
+        n = len(refs)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(
+                np.asarray([errors, words, n], np.int64)
+            )
+            errors, words, n = (int(x) for x in counts.sum(axis=0))
+        if words == 0:
+            raise ValueError("empty reference corpus")
+        return errors / words, n
 
     def _step(self, with_mask: bool):
         if with_mask not in self._jitted:
@@ -113,28 +221,63 @@ class GreedyCTCEvaluator:
         self, speech: np.ndarray, sample_lengths: Optional[np.ndarray] = None
     ) -> List[str]:
         """speech: (B, L) normalised waveforms; sample_lengths: true lengths
-        (defaults to L for all rows)."""
-        speech = jnp.asarray(speech, jnp.float32)
+        (defaults to L for all rows).  With a mesh, rows are padded up to
+        the data-axis quantum, the batch runs sharded over all devices, and
+        only this process's real rows are decoded."""
+        speech = np.asarray(speech, np.float32)
         b, l = speech.shape
         if sample_lengths is None:
             sample_lengths = np.full((b,), l, np.int64)
+        sample_lengths = np.asarray(sample_lengths, np.int64)
+
+        q = self._row_quantum()
+        pad_rows = (-b) % q
+        if pad_rows:
+            speech = np.concatenate(
+                [speech, np.zeros((pad_rows, l), np.float32)], axis=0
+            )
+            sample_lengths = np.concatenate(
+                [sample_lengths, np.full((pad_rows,), l, np.int64)]
+            )
+
         if self.use_attention_mask:
-            mask = (np.arange(l)[None, :] < np.asarray(sample_lengths)[:, None]).astype(
+            mask = (np.arange(l)[None, :] < sample_lengths[:, None]).astype(
                 np.float32
             )
-            preds, frame_lengths = self._step(True)(self.params, speech, jnp.asarray(mask))
+            if self.mesh is not None:
+                from .parallel import multihost
+
+                gb = multihost.host_local_batch_to_global(
+                    {"speech": speech, "mask": mask}, self.mesh
+                )
+                preds, frame_lengths = self._step(True)(
+                    self.params, gb["speech"], gb["mask"]
+                )
+                preds = self._local_rows(preds)
+                frame_lengths = self._local_rows(frame_lengths)
+            else:
+                preds, frame_lengths = self._step(True)(
+                    self.params, jnp.asarray(speech), jnp.asarray(mask)
+                )
         else:
-            preds, frame_lengths = self._step(False)(self.params, speech)
+            if self.mesh is not None:
+                from .parallel import multihost
+
+                gb = multihost.host_local_batch_to_global(
+                    {"speech": speech}, self.mesh
+                )
+                preds, _ = self._step(False)(self.params, gb["speech"])
+                preds = self._local_rows(preds)
+            else:
+                preds, _ = self._step(False)(self.params, jnp.asarray(speech))
             # drop frames produced purely by padding so the host-side collapse
             # sees only real audio frames
-            frame_lengths = self.config.conv_output_length(
-                np.asarray(sample_lengths, np.int64)
-            )
+            frame_lengths = self.config.conv_output_length(sample_lengths)
         preds = np.asarray(preds)
         frame_lengths = np.asarray(frame_lengths)
         return [
             self.tokenizer.decode(preds[i, : frame_lengths[i]])
-            for i in range(preds.shape[0])
+            for i in range(b)  # pad rows (if any) fall off here
         ]
 
     # -- the three evaluation modes --------------------------------------
@@ -162,6 +305,7 @@ class GreedyCTCEvaluator:
         plan = plan_chunks(
             len(audio), chunk_samples, context_samples,
             self.config.conv_output_length,
+            total_stride=int(np.prod(self.config.strides)),
         )
         ids: List[np.ndarray] = []
         for start, keep_lo, keep_hi in plan:
@@ -189,31 +333,42 @@ class GreedyCTCEvaluator:
         pad_to: int = 246000,
     ) -> Tuple[float, int]:
         """Reference constant-pad mode (`main.py:48-51` shape).  Returns
-        (wer, num_samples)."""
+        (wer, num_samples) — the GLOBAL corpus numbers under multi-host.
+
+        Multi-process SPMD needs every host to present the same local batch
+        shape each step, so here every flush (including the shard tail and
+        the lockstep dummies) is padded to exactly `batch_size` rows.
+        """
+
+        def batches():
+            batch, lengths, texts = [], [], []
+            for audio, text in samples:
+                batch.append(audio)
+                lengths.append(len(audio))
+                texts.append(text)
+                if len(batch) == batch_size:
+                    yield batch, lengths, texts
+                    batch, lengths, texts = [], [], []
+            if batch:
+                yield batch, lengths, texts
+
+        def dummy():
+            return [np.zeros(16, np.float32)], [16], [""]
+
         refs, hyps = [], []
-        batch, lengths, texts = [], [], []
-
-        def flush():
-            if not batch:
-                return
-            b = len(batch)
-            speech = np.zeros((b, pad_to), np.float32)
+        fixed_rows = batch_size if self._multiprocess else None
+        for (batch, lengths, texts), real in self._lockstep(batches(), dummy):
+            rows = fixed_rows or len(batch)
+            speech = np.zeros((rows, pad_to), np.float32)
+            row_lengths = np.full((rows,), pad_to, np.int64)
             for i, s in enumerate(batch):
-                speech[i, : len(s)] = s[:pad_to]
-            hyps.extend(self.predict_batch(speech, np.minimum(lengths, pad_to)))
-            refs.extend(texts)
-            batch.clear()
-            lengths.clear()
-            texts.clear()
-
-        for audio, text in samples:
-            batch.append(audio)
-            lengths.append(len(audio))
-            texts.append(text)
-            if len(batch) == batch_size:
-                flush()
-        flush()
-        return wer(refs, hyps), len(refs)
+                speech[i, : min(len(s), pad_to)] = s[:pad_to]
+                row_lengths[i] = min(lengths[i], pad_to)
+            out = self.predict_batch(speech, row_lengths)
+            if real:
+                hyps.extend(out[: len(batch)])
+                refs.extend(texts)
+        return self._aggregate_wer(refs, hyps)
 
     def evaluate_bucketed(
         self,
@@ -225,7 +380,16 @@ class GreedyCTCEvaluator:
 
         This is the capability upgrade over the reference (see module
         docstring): no-padding-quality WER without eager fallback.
+
+        Single-process only under a mesh (batch rows shard over the data
+        axis); multi-host pods should use `evaluate_padded` — per-host
+        bucket streams diverge in shape, which SPMD lockstep cannot serve.
         """
+        if self._multiprocess:
+            raise NotImplementedError(
+                "bucketed evaluation is per-host-shape-divergent; use "
+                "evaluate_padded on multi-host runs"
+            )
         if buckets is None:
             buckets = default_buckets()
         buckets = sorted(buckets)

@@ -18,7 +18,6 @@ contract.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
@@ -47,57 +46,46 @@ def export_saved_model(
         with_attention_mask = config.is_robust
     fwd = wav2vec2_for_ctc_forward if with_lm_head else wav2vec2_forward
 
+    # trace with the Pallas kernels off (`use_pallas=False` — an explicit
+    # argument, not process-global env mutation, so a concurrent trace in
+    # the same process cannot race): opaque Mosaic custom calls would pin
+    # the artifact to this exact TPU toolchain
     def fn(params, speech, attention_mask=None):
         return fwd(
             params, config, speech, attention_mask,
             training=False, compute_dtype=compute_dtype,
-            attention_impl="xla",
+            attention_impl="xla", use_pallas=False,
         )
 
-    # trace with the Pallas kernels off: opaque Mosaic custom calls would
-    # pin the artifact to this exact TPU toolchain
-    saved_env = {
-        k: os.environ.get(k)
-        for k in ("W2V2_FUSED_CONV", "W2V2_FUSED_POS_CONV")
-    }
-    os.environ["W2V2_FUSED_CONV"] = "0"
-    os.environ["W2V2_FUSED_POS_CONV"] = "0"
-    try:
-        poly = [None, "b, _"] + (["b, _"] if with_attention_mask else [])
-        tf_fn = jax2tf.convert(
-            fn,
-            with_gradient=False,
-            polymorphic_shapes=poly,
-            native_serialization_platforms=list(platforms),
+    poly = [None, "b, _"] + (["b, _"] if with_attention_mask else [])
+    tf_fn = jax2tf.convert(
+        fn,
+        with_gradient=False,
+        polymorphic_shapes=poly,
+        native_serialization_platforms=list(platforms),
+    )
+
+    params_np = jax.device_get(params)
+    param_vars = tf.nest.map_structure(tf.Variable, params_np)
+
+    module = tf.Module()
+    module._params = param_vars  # tracked by the SavedModel
+
+    specs = [tf.TensorSpec([None, seqlen], tf.float32, name="speech")]
+    if with_attention_mask:
+        specs.append(
+            tf.TensorSpec([None, seqlen], tf.float32, name="attention_mask")
         )
 
-        params_np = jax.device_get(params)
-        param_vars = tf.nest.map_structure(tf.Variable, params_np)
-
-        module = tf.Module()
-        module._params = param_vars  # tracked by the SavedModel
-
-        specs = [tf.TensorSpec([None, seqlen], tf.float32, name="speech")]
+    @tf.function(input_signature=specs, jit_compile=False, autograph=False)
+    def serving(speech, attention_mask=None):
         if with_attention_mask:
-            specs.append(
-                tf.TensorSpec([None, seqlen], tf.float32, name="attention_mask")
-            )
+            return tf_fn(param_vars, speech, attention_mask)
+        return tf_fn(param_vars, speech)
 
-        @tf.function(input_signature=specs, jit_compile=False, autograph=False)
-        def serving(speech, attention_mask=None):
-            if with_attention_mask:
-                return tf_fn(param_vars, speech, attention_mask)
-            return tf_fn(param_vars, speech)
-
-        module.__call__ = serving
-        tf.saved_model.save(
-            module, save_dir,
-            signatures={"serving_default": serving},
-        )
-    finally:
-        for k, v in saved_env.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    module.__call__ = serving
+    tf.saved_model.save(
+        module, save_dir,
+        signatures={"serving_default": serving},
+    )
     return save_dir

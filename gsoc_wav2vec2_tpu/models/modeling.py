@@ -178,6 +178,7 @@ def feature_encoder_forward(
     training: bool = False,
     frozen: bool = False,
     mesh=None,
+    use_pallas: bool = True,
 ) -> jax.Array:
     """7× strided conv blocks over the raw waveform.
 
@@ -202,7 +203,8 @@ def feature_encoder_forward(
 
     start = 0
     if (
-        jax.default_backend() == "tpu"
+        use_pallas
+        and jax.default_backend() == "tpu"
         and compute_dtype == jnp.bfloat16
         and conv_frontend.supports(config, training, frozen)
     ):
@@ -331,6 +333,7 @@ def encoder_forward(
     remat: bool = False,
     attention_impl: str = "auto",
     mesh=None,
+    use_pallas: bool = True,
 ) -> jax.Array:
     """Positional conv embed + N transformer layers via `lax.scan`.
 
@@ -354,6 +357,7 @@ def encoder_forward(
         config.is_gelu_approx,
         training=training,
         mesh=mesh,
+        use_pallas=use_pallas,
     )
 
     prenorm = config.attention_norm_type == "prenorm"
@@ -405,6 +409,7 @@ def wav2vec2_forward(
     attention_impl: str = "auto",
     mesh=None,
     frozen: tuple = (),
+    use_pallas: bool = True,
 ) -> jax.Array:
     """`Wav2Vec2Model.call` (reference `modeling.py:169-209`).
 
@@ -429,6 +434,7 @@ def wav2vec2_forward(
     x = feature_encoder_forward(
         params["feature_extractor"], config, batch, compute_dtype,
         training=training, frozen=frontend_frozen, mesh=mesh,
+        use_pallas=use_pallas,
     )
     if frontend_frozen:
         x = jax.lax.stop_gradient(x)
@@ -463,6 +469,7 @@ def wav2vec2_forward(
         remat=remat,
         attention_impl=attention_impl,
         mesh=mesh,
+        use_pallas=use_pallas,
     )
 
 
@@ -479,6 +486,7 @@ def wav2vec2_for_ctc_forward(
     attention_impl: str = "auto",
     mesh=None,
     frozen: tuple = (),
+    use_pallas: bool = True,
 ) -> jax.Array:
     """`Wav2Vec2ForCTC.call`: base model → dropout → LM head.
 
@@ -502,6 +510,7 @@ def wav2vec2_for_ctc_forward(
         attention_impl=attention_impl,
         mesh=mesh,
         frozen=frozen,
+        use_pallas=use_pallas,
     )
     if "wav2vec2" in frozen:
         x = jax.lax.stop_gradient(x)

@@ -105,15 +105,21 @@ def _hash_keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
     Why not `jax.random.bernoulli`: threefry costs ~20 VPU ops per word
     plus a materialised uniform buffer; at the training recipe shape the
     model's ~40 dropout masks cost ~90 ms/step (measured on v5e).  The hash
-    is ~7 fused integer ops per element straight from an on-the-fly iota —
+    is ~12 fused integer ops per element straight from an on-the-fly iota —
     no random-bits buffer ever exists.  Statistical quality is far beyond
     what dropout needs; determinism per (seed, shape) is exact.
+
+    `seed` is a (2,) uint32 pair and both words enter separate mix rounds:
+    a single 32-bit seed would birthday-collide across a long run's ~2M
+    mask draws (~40/step × 50k steps), silently reusing a mask between two
+    same-shaped sites; with 64 seed bits a collision needs ~2^32 draws.
     """
     n = 1
     for d in shape:
         n *= d
     idx = jax.lax.iota(jnp.uint32, n)
-    x = murmur_mix(idx ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761)))
+    x = murmur_mix(idx ^ (seed[0].astype(jnp.uint32) * jnp.uint32(2654435761)))
+    x = murmur_mix(x ^ seed[1].astype(jnp.uint32))
     threshold = jnp.uint32(int((1.0 - rate) * float(2**32 - 1)))
     return (x < threshold).reshape(shape)
 
@@ -126,7 +132,7 @@ def dropout(
 ) -> jax.Array:
     """Inverted dropout (Keras `Dropout` semantics).
 
-    The mask comes from a counter-based hash seeded by one 32-bit draw from
+    The mask comes from a counter-based hash seeded by one 64-bit draw from
     `rng` (see `_hash_keep_mask`) — deterministic given the key, ~3x cheaper
     than threefry-per-element at training shapes.
     """
@@ -135,7 +141,7 @@ def dropout(
     if rng is None:
         raise ValueError("dropout requires an rng key when not deterministic")
     keep_prob = 1.0 - rate
-    seed = jax.random.bits(rng, dtype=jnp.uint32)
+    seed = jax.random.bits(rng, (2,), jnp.uint32)
     mask = _hash_keep_mask(seed, x.shape, rate)
     return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
 

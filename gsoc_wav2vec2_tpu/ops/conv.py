@@ -77,6 +77,7 @@ def pos_conv_embed(
     is_gelu_approx: bool = False,
     training: bool = False,
     mesh=None,
+    use_pallas: bool = True,
 ) -> jax.Array:
     """Convolutional relative positional embedding.
 
@@ -86,17 +87,19 @@ def pos_conv_embed(
     the `is_padding_wrong` branch at :175-180).  The caller adds the result
     to the hidden states (`encoder.py:265`).
 
-    On TPU in bf16 inference the grouped conv runs as a Pallas im2col
-    kernel (`ops/pallas/pos_conv.py`) — XLA's grouped-conv lowering is the
-    single least efficient op of the forward pass (~7% MXU).  Training
-    keeps the XLA path (the positional conv is trainable in stage 2 and
-    the kernel has no VJP).
+    On TPU in bf16 the grouped conv runs as a Pallas im2col kernel
+    (`ops/pallas/pos_conv.py`) — XLA's grouped-conv lowering is the single
+    least efficient op of the forward pass (~7% MXU).  Training uses the
+    kernel's custom-VJP variant (`pos_conv_fused_train`): dx and dW are the
+    same im2col structure, so stage 2 (pos conv trainable) avoids XLA's
+    grouped conv in both directions.  Multi-device meshes keep the XLA
+    path (GSPMD cannot partition the opaque custom call).
     """
     import os
 
     kernel = weight_norm_kernel(params["weight_v"], params["weight_g"])
     if (
-        not training
+        use_pallas
         and jax.default_backend() == "tpu"
         and x.dtype == jnp.bfloat16
         and kernel_size % 2 == 0
@@ -105,14 +108,26 @@ def pos_conv_embed(
         and (mesh is None or mesh.size == 1)
         and os.environ.get("W2V2_FUSED_POS_CONV", "1") != "0"
     ):
-        from .pallas.pos_conv import TAP_BLOCK, pos_conv_fused
+        from .pallas.pos_conv import (
+            TAP_BLOCK,
+            pos_conv_fused,
+            pos_conv_fused_train,
+        )
 
         if kernel_size % TAP_BLOCK == 0 and x.shape[-1] % groups == 0:
-            return pos_conv_fused(
-                x, kernel, params.get("bias"),
-                kernel_size=kernel_size, groups=groups,
-                gelu_approx=is_gelu_approx or x.dtype == jnp.bfloat16,
-            )
+            gelu_approx = is_gelu_approx or x.dtype == jnp.bfloat16
+            if not training:
+                return pos_conv_fused(
+                    x, kernel, params.get("bias"),
+                    kernel_size=kernel_size, groups=groups,
+                    gelu_approx=gelu_approx,
+                )
+            if params.get("bias") is not None:
+                return pos_conv_fused_train(
+                    x, kernel, params["bias"],
+                    kernel_size=kernel_size, groups=groups,
+                    gelu_approx=gelu_approx,
+                )
     pad = kernel_size // 2
     y = conv1d(
         x,

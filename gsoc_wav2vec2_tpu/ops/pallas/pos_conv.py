@@ -16,8 +16,17 @@ re-slicing x 128 times.  Mosaic rejects concatenations of sublane-offset
 *slices*, which is why the shifts are `pltpu.roll`s of full tiles (same
 trick as `conv_frontend.py`).
 
-Inference-only (no VJP): in training the positional conv is trainable
-(stage 2), so the XLA path is used there.
+Training support (custom VJP, `pos_conv_fused_train`): the backward pass
+is two more instances of the SAME im2col structure —
+  * dx is a full correlation of dpre with the tap-flipped, in/out-swapped
+    kernel (stride 1, pad (k//2-1, k//2)), i.e. the forward kernel minus
+    bias/GELU with transformed weights;
+  * dW per group is win^T @ dpre — the window matrix rebuilt with the
+    identical roll sequence, contracted over time (depth 768) into
+    (K*CG, CG) blocks, accumulated over the batch grid axis in f32.
+The pre-activation is saved from the forward (f32, grouped layout) so the
+GELU derivative is exact; stage 2 of the recipe (pos conv trainable) then
+never touches XLA's skinny grouped-conv lowering in either direction.
 """
 
 from __future__ import annotations
@@ -32,29 +41,29 @@ from jax.experimental.pallas import tpu as pltpu
 TAP_BLOCK = 16  # taps folded per partial matmul
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, *, t_out: int, k: int, cg: int,
-            gelu_approx: bool):
-    """x_ref: (1, 1, T+K, CG); w_ref: (1, K*CG, CG); b_ref: (1, 8, CG)
-    (row-broadcast bias); out: (1, 1, T, CG)."""
-    # rolls must be f32 (Mosaic: "Rotate with non-32-bit data"); the window
-    # is cast to bf16 ONCE after assembly
-    x = x_ref[0, 0].astype(jnp.float32)  # (T+K, CG)
+def _window(x_ref):
+    """Assemble the (rows, TAP_BLOCK*CG) window super-block in VMEM.
 
+    Columns j=0..15 are 1-row-shifted copies of x (pltpu.roll takes
+    non-negative shifts: rows-1 == circular -1; the wrapped rows land past
+    row t_out+k-16 and are never read by the dots).  Tap block jb is then
+    just this block shifted 16*jb rows — a sublane-ALIGNED slice (16 == the
+    bf16 sublane tile), which Mosaic takes directly as a dot operand: no
+    further data movement at all.  Rolls must be f32 (Mosaic: "Rotate with
+    non-32-bit data"); the window is cast to bf16 ONCE after assembly.
+    """
+    x = x_ref[0, 0].astype(jnp.float32)  # (rows, CG)
     rows = x.shape[0]
-    # one window super-block: columns j=0..15, each a 1-row-shifted copy of
-    # x (pltpu.roll takes non-negative shifts: rows-1 == circular -1; the
-    # wrapped rows land past row t_out+k-16 and are never read below).
-    # Tap block jb is then just this block shifted 16*jb rows — a
-    # sublane-ALIGNED slice (16 == the bf16 sublane tile), which Mosaic
-    # takes directly as a dot operand: no further data movement at all.
     cols = [x]
     for _ in range(TAP_BLOCK - 1):
         cols.append(pltpu.roll(cols[-1], shift=rows - 1, axis=0))
-    win = jnp.concatenate(cols, axis=1).astype(jnp.bfloat16)
+    return jnp.concatenate(cols, axis=1).astype(jnp.bfloat16)
 
+
+def _conv_acc(win, w_ref, t_out: int, k: int, cg: int):
+    """Sum of per-tap-block matmuls: (t_out, K*CG-deep) grouped conv."""
     acc = jnp.zeros((t_out, cg), jnp.float32)
-    n_blocks = k // TAP_BLOCK
-    for jb in range(n_blocks):
+    for jb in range(k // TAP_BLOCK):
         wb = w_ref[0, jb * TAP_BLOCK * cg : (jb + 1) * TAP_BLOCK * cg, :]
         acc += jax.lax.dot_general(
             win[jb * TAP_BLOCK : jb * TAP_BLOCK + t_out],
@@ -62,9 +71,61 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, *, t_out: int, k: int, cg: int,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    return acc
+
+
+def _kernel(x_ref, w_ref, b_ref, out_ref, *, t_out: int, k: int, cg: int,
+            gelu_approx: bool):
+    """x_ref: (1, 1, T+K, CG); w_ref: (1, K*CG, CG); b_ref: (1, 8, CG)
+    (row-broadcast bias); out: (1, 1, T, CG)."""
+    win = _window(x_ref)
+    acc = _conv_acc(win, w_ref, t_out, k, cg)
     acc = acc + b_ref[0, 0, :][None, :]
     acc = jax.nn.gelu(acc, approximate=gelu_approx)
     out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
+def _fwd_train_kernel(x_ref, w_ref, b_ref, out_ref, pre_ref, *, t_out: int,
+                      k: int, cg: int, gelu_approx: bool):
+    """Forward that also emits the f32 pre-activation (GELU' residual)."""
+    win = _window(x_ref)
+    acc = _conv_acc(win, w_ref, t_out, k, cg)
+    acc = acc + b_ref[0, 0, :][None, :]
+    pre_ref[0, 0] = acc
+    out_ref[0, 0] = jax.nn.gelu(acc, approximate=gelu_approx).astype(out_ref.dtype)
+
+
+def _linear_kernel(x_ref, w_ref, out_ref, *, t_out: int, k: int, cg: int):
+    """Grouped im2col conv, no bias/activation — the dx correlation."""
+    win = _window(x_ref)
+    out_ref[0, 0] = _conv_acc(win, w_ref, t_out, k, cg).astype(out_ref.dtype)
+
+
+def _dw_kernel(x_ref, dpre_ref, dw_ref, *, t_out: int, k: int, cg: int):
+    """dW_g += win_g^T @ dpre_g, accumulated over the (inner) batch axis.
+
+    Each tap block contracts (t_out, TAP_BLOCK*CG)^T with (t_out, CG) —
+    depth t_out (768 at the recipe shape), a well-shaped MXU pass; the
+    (K*CG, CG) accumulator block revisits the same output position for
+    every batch step (standard Pallas revisit-accumulate).
+    """
+    i = pl.program_id(1)  # batch (inner, sequential)
+    win = _window(x_ref)
+    dpre = dpre_ref[0, 0].astype(jnp.bfloat16)  # (t_out, CG)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
+
+    for jb in range(k // TAP_BLOCK):
+        dw_ref[0, jb * TAP_BLOCK * cg : (jb + 1) * TAP_BLOCK * cg, :] += (
+            jax.lax.dot_general(
+                win[jb * TAP_BLOCK : jb * TAP_BLOCK + t_out],
+                dpre,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
 
 
 @functools.partial(
@@ -148,3 +209,215 @@ def pos_conv_fused(
     )(xg, wg, bg)
 
     return out.transpose(0, 2, 1, 3).reshape(b, t, c)
+
+
+# ---------------------------------------------------------------------------
+# Training path (custom VJP)
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(xg: jax.Array, k: int, pad_lo: int):
+    """(B, G, T, CG) -> (B, G, rows, CG) bf16, zero-padded `pad_lo` on the
+    left and up to a 64-row multiple on the right (the roll-based window
+    assembly needs tile-aligned row counts — see `pos_conv_fused`)."""
+    b, g, t, cg = xg.shape
+    rows = -(-(t + k) // 64) * 64
+    return (
+        jnp.pad(xg, ((0, 0), (0, 0), (pad_lo, rows - t - pad_lo), (0, 0)))
+        .astype(jnp.bfloat16),
+        rows,
+    )
+
+
+def _group(x: jax.Array, g: int):
+    b, t, c = x.shape
+    return x.reshape(b, t, g, c // g).transpose(0, 2, 1, 3)
+
+
+def _ungroup(xg: jax.Array):
+    b, g, t, cg = xg.shape
+    return xg.transpose(0, 2, 1, 3).reshape(b, t, g * cg)
+
+
+def _fwd_train_call(x, kernel, bias, *, k: int, g: int, gelu_approx: bool,
+                    interpret: bool):
+    b, t, c = x.shape
+    cg = c // g
+    xg, rows = _pad_rows(_group(x, g), k, k // 2)
+    wg = (
+        kernel.reshape(k, cg, g, cg)
+        .transpose(2, 0, 1, 3)
+        .reshape(g, k * cg, cg)
+        .astype(jnp.bfloat16)
+    )
+    bg = jnp.broadcast_to(
+        bias.astype(jnp.float32).reshape(g, 1, cg), (g, 8, cg)
+    )
+    out, pre = pl.pallas_call(
+        functools.partial(
+            _fwd_train_kernel, t_out=t, k=k, cg=cg, gelu_approx=gelu_approx
+        ),
+        grid=(g, b),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, cg), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * cg, cg), lambda j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, cg), lambda j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, t, cg), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, cg), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, g, t, cg), x.dtype),
+            jax.ShapeDtypeStruct((b, g, t, cg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * k * cg * c,
+            bytes_accessed=b * (t + k) * c * 2 + b * t * c * 6,
+            transcendentals=b * t * c,
+        ),
+        interpret=interpret,
+    )(xg, wg, bg)
+    return _ungroup(out), pre
+
+
+def _dx_call(dpre, kernel, x_dtype, *, k: int, g: int, interpret: bool):
+    """dx = correlate(dpre, flip-and-swap(kernel)): the forward kernel with
+    pad (k//2 - 1, ...) and rows ordered (tap', out-channel)."""
+    b, _, t, cg = dpre.shape
+    c = g * cg
+    dg, rows = _pad_rows(dpre, k, k // 2 - 1)
+    wk = (
+        kernel.reshape(k, cg, g, cg)[::-1]
+        .transpose(2, 0, 3, 1)
+        .reshape(g, k * cg, cg)
+        .astype(jnp.bfloat16)
+    )
+    out = pl.pallas_call(
+        functools.partial(_linear_kernel, t_out=t, k=k, cg=cg),
+        grid=(g, b),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, cg), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * cg, cg), lambda j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, cg), lambda j, i: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, g, t, cg), x_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * k * cg * c,
+            bytes_accessed=b * (t + k) * c * 2 + b * t * c * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dg, wk)
+    return _ungroup(out)
+
+
+def _dw_call(x, dpre, *, k: int, g: int, interpret: bool):
+    """dW_g = sum_b win_g(b)^T @ dpre_g(b), f32 accumulated in VMEM."""
+    b, t, c = x.shape
+    cg = c // g
+    xg, rows = _pad_rows(_group(x, g), k, k // 2)
+    dw = pl.pallas_call(
+        functools.partial(_dw_kernel, t_out=t, k=k, cg=cg),
+        grid=(g, b),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, cg), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, cg), lambda j, i: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # the accumulator block revisits (j, 0, 0) for every batch step
+        out_specs=pl.BlockSpec((1, k * cg, cg), lambda j, i: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, k * cg, cg), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * k * cg * c,
+            bytes_accessed=b * (t + k) * c * 2 + b * t * c * 2 + k * c * cg * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xg, dpre.astype(jnp.bfloat16))
+    # (G, (tap, ci), co) -> kernel layout (tap, ci, C)
+    return dw.reshape(g, k, cg, cg).transpose(1, 2, 0, 3).reshape(k, cg, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _train_core(x, kernel, bias, kernel_size, groups, gelu_approx, interpret):
+    y, _ = _fwd_train_call(
+        x, kernel, bias, k=kernel_size, g=groups, gelu_approx=gelu_approx,
+        interpret=interpret,
+    )
+    return y
+
+
+def _train_fwd(x, kernel, bias, kernel_size, groups, gelu_approx, interpret):
+    y, pre = _fwd_train_call(
+        x, kernel, bias, k=kernel_size, g=groups, gelu_approx=gelu_approx,
+        interpret=interpret,
+    )
+    return y, (x, kernel, bias, pre)
+
+
+def _train_bwd(kernel_size, groups, gelu_approx, interpret, res, dy):
+    x, kernel, bias, pre = res  # pre: (B, G, T, CG) f32
+    b, t, c = x.shape
+    g, k = groups, kernel_size
+    cg = c // g
+
+    dy_g = _group(dy, g).astype(jnp.float32)
+    _, gelu_vjp = jax.vjp(
+        lambda p: jax.nn.gelu(p, approximate=gelu_approx), pre
+    )
+    (dpre,) = gelu_vjp(dy_g)  # exact GELU' from the saved pre-activation
+
+    db = jnp.sum(dpre, axis=(0, 2)).reshape(c).astype(bias.dtype)
+    dx = _dx_call(dpre, kernel, x.dtype, k=k, g=g, interpret=interpret)
+    dk = _dw_call(x, dpre, k=k, g=g, interpret=interpret).astype(kernel.dtype)
+    return dx, dk, db
+
+
+_train_core.defvjp(_train_fwd, _train_bwd)
+
+
+def pos_conv_fused_train(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    *,
+    kernel_size: int,
+    groups: int,
+    gelu_approx: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable `pos_conv_fused`: same forward contract, custom VJP.
+
+    All three gradients (dx, dkernel, dbias) are exact up to bf16 matmul
+    precision; the weight-norm decomposition differentiates outside in XLA
+    (`ops/conv.py::weight_norm_kernel` is plain jnp).  Single-device only —
+    under a multi-device mesh the caller keeps the XLA path (GSPMD cannot
+    partition the custom call, and shard_map autodiff with replicated
+    kernel operands would need hand-written psums here).
+    """
+    b, t, c = x.shape
+    k, cg, _ = kernel.shape
+    assert k == kernel_size and cg == c // groups and k % TAP_BLOCK == 0
+    return _train_core(
+        x, kernel, bias, kernel_size, groups, gelu_approx, interpret
+    )

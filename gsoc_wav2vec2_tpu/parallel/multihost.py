@@ -73,15 +73,20 @@ def sync_run_id(run_id: str, max_len: int = 64) -> str:
     return bytes(np.asarray(synced)).rstrip(b"\x00").decode()
 
 
-def lockstep_batches(iterator):
+def lockstep_batches(iterator, num_batches: Optional[int] = None):
     """Yield from a per-host batch iterator while EVERY process still has a
     batch.
 
     Per-host shards can differ by one batch (uneven sample counts); under
-    SPMD a host entering a collective alone deadlocks the pod.  One tiny
-    all-gather of a have-a-batch flag per step keeps hosts in lockstep —
-    the equivalent of tf.data's global `drop_remainder` the reference got
-    from `strategy.distribute_datasets_from_function`.  Single-process:
+    SPMD a host entering a collective alone deadlocks the pod.  When this
+    host's batch count is known up front (`num_batches` — computable from
+    shard sizes with `drop_remainder`, see the loaders' `num_batches()`),
+    ONE allgather exchanges the counts and the stream then drains
+    `min(counts)` batches with no further host collectives.  With unknown
+    counts (tfrecord shards) it falls back to a tiny have-a-batch flag
+    allgather per step — the equivalent of tf.data's global
+    `drop_remainder` the reference got from
+    `strategy.distribute_datasets_from_function`.  Single-process:
     zero-overhead passthrough.
     """
     if jax.process_count() == 1:
@@ -91,6 +96,13 @@ def lockstep_batches(iterator):
     from jax.experimental import multihost_utils
 
     it = iter(iterator)
+    if num_batches is not None:
+        counts = multihost_utils.process_allgather(np.asarray(int(num_batches)))
+        for _ in range(int(np.min(counts))):
+            # a shortfall vs the announced count must fail loudly: silently
+            # stopping early would desync the pod at the next collective
+            yield next(it)
+        return
     while True:
         try:
             batch = next(it)

@@ -3,6 +3,7 @@ multi-host lockstep/sync helpers, device probes, unique run ids, prefetch
 abandonment, and loud missing-vocab failure.
 """
 
+import os
 import threading
 import time
 
@@ -125,3 +126,57 @@ def test_dummy_data_path_env_hook(monkeypatch, tmp_path):
     # explicit flags win over the env hook
     args2 = TrainingArgs(train_dir="/explicit")
     assert args2.train_dir == "/explicit"
+
+
+def test_lockstep_precounted_single_process_passthrough():
+    from gsoc_wav2vec2_tpu.parallel import multihost
+
+    items = [1, 2, 3]
+    assert list(multihost.lockstep_batches(iter(items), num_batches=3)) == items
+
+
+def test_loader_num_batches_matches_stream(tmp_path):
+    """`num_batches()` (the lockstep pre-count) must equal the number of
+    batches the loader actually yields, for both drop_remainder settings,
+    and stay correct under per-host sharding."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from flac_encoder import encode_flac
+
+    from gsoc_wav2vec2_tpu.data.loaders import (
+        LibriSpeechDataLoader,
+        LibriSpeechDataLoaderArgs,
+    )
+
+    chap = tmp_path / "1" / "1"
+    chap.mkdir(parents=True)
+    sig = (1000 * np.sin(np.arange(2000) / 5.0)).astype(np.int64)
+    lines = []
+    for i in range(5):
+        (chap / f"1-1-{i:04d}.flac").write_bytes(
+            encode_flac(sig, subframe_kind="fixed", order=2, rice_param=7)
+        )
+        lines.append(f"1-1-{i:04d} HELLO")
+    (chap / "1-1.trans.txt").write_text("\n".join(lines))
+
+    for shard_count, shard_index in ((1, 0), (2, 1)):
+        loader = LibriSpeechDataLoader(
+            LibriSpeechDataLoaderArgs(
+                data_dir=str(tmp_path), batch_size=2, audio_maxlen=2000,
+                labels_maxlen=16,
+            ),
+            shard_index=shard_index,
+            shard_count=shard_count,
+        )
+        for drop in (True, False):
+            want = loader.num_batches(drop_remainder=drop)
+            got = sum(1 for _ in loader(drop_remainder=drop))
+            assert want == got, (shard_count, drop, want, got)
+    # tfrecord source: unknown without reading -> None
+    tf_loader = LibriSpeechDataLoader(
+        LibriSpeechDataLoaderArgs(
+            from_tfrecords=True, tfrecords=["/nonexistent.tfrecord"]
+        )
+    )
+    assert tf_loader.num_batches() is None

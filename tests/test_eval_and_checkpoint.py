@@ -176,3 +176,93 @@ def test_checkpoint_restore_missing_raises(tmp_path, tiny_model):
     with pytest.raises(FileNotFoundError):
         mgr.restore(state)
     mgr.close()
+
+
+def test_mesh_sharded_eval_matches_single_device(tiny_model):
+    """Round-3 upgrade: WER evaluation sharded over the full 8-device mesh
+    (data axis) must produce IDENTICAL hypotheses and WER to the
+    single-device evaluator — including ragged final batches whose rows pad
+    up to the data-axis quantum."""
+    from gsoc_wav2vec2_tpu.parallel import make_mesh
+
+    config, params = tiny_model
+    rng = np.random.default_rng(5)
+    # 11 samples of varying length: exercises the row-padding path
+    # (11 % 8 != 0) in both padded and bucketed modes
+    samples = [
+        (
+            rng.standard_normal(rng.integers(900, 2000)).astype(np.float32),
+            "SOME REFERENCE TEXT",
+        )
+        for _ in range(11)
+    ]
+
+    single = GreedyCTCEvaluator(config, params, compute_dtype=jnp.float32)
+    mesh = make_mesh(model=1)
+    sharded = GreedyCTCEvaluator(
+        config, params, compute_dtype=jnp.float32, mesh=mesh
+    )
+
+    for mode in ("evaluate_padded", "evaluate_bucketed"):
+        kwargs = (
+            {"pad_to": 2000, "batch_size": 4}
+            if mode == "evaluate_padded"
+            else {"buckets": [1000, 2000], "batch_size": 4}
+        )
+        w1, n1 = getattr(single, mode)(iter(samples), **kwargs)
+        w2, n2 = getattr(sharded, mode)(iter(samples), **kwargs)
+        assert n1 == n2 == len(samples)
+        assert w1 == w2, f"{mode}: sharded WER {w2} != single-device {w1}"
+
+    # predict_batch hypotheses must agree row-for-row too
+    speech = np.zeros((3, 2000), np.float32)
+    lengths = np.asarray([1500, 2000, 950])
+    for i, (audio, _) in enumerate(samples[:3]):
+        speech[i, : min(len(audio), 2000)] = audio[:2000]
+    assert single.predict_batch(speech, lengths) == sharded.predict_batch(
+        speech, lengths
+    )
+
+
+def test_evaluate_cli_reads_tfrecords(tmp_path):
+    """`cli.evaluate --tfrecords` scores the same shards training consumes
+    (round-3: the eval CLI previously only read raw corpora)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2ForCTC
+    from gsoc_wav2vec2_tpu.data import native_io
+    from gsoc_wav2vec2_tpu.data.processor import Wav2Vec2Processor
+
+    config = Wav2Vec2Config(
+        hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    model_dir = str(tmp_path / "model")
+    Wav2Vec2ForCTC(config, seed=0).save_pretrained(model_dir)
+
+    tok = Wav2Vec2Processor(is_tokenizer=True)
+    rng = np.random.default_rng(3)
+    shard = str(tmp_path / "eval-0.tfrecord")
+    with native_io.TFRecordWriter(shard) as w:
+        for text in ("HELLO WORLD", "TINY MODEL", "SOME WORDS HERE"):
+            speech = rng.standard_normal(1600).astype(np.float32)
+            w.write(speech, np.asarray(tok(text), np.int32))
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.evaluate",
+            "--model_dir", model_dir,
+            "--tfrecords", str(tmp_path / "*.tfrecord"),
+            "--mode", "padded", "--pad_to", "1600",
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    report = json.loads(result.stdout.strip().splitlines()[-1])
+    assert report["num_samples"] == 3
+    assert 0.0 <= report["wer"] <= 1.0

@@ -59,6 +59,11 @@ _WORKER = textwrap.dedent(
     batches = list(multihost.lockstep_batches(iter([local] * n)))
     assert len(batches) == 2, len(batches)
 
+    # pre-counted path: ONE allgather of the counts, then no per-step
+    # collectives — must agree with the flag-per-step result
+    batches = list(multihost.lockstep_batches(iter([local] * n), num_batches=n))
+    assert len(batches) == 2, len(batches)
+
     print(f"proc {pid}: OK", flush=True)
     """
 )

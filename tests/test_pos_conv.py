@@ -65,3 +65,62 @@ def test_pos_conv_fused_no_bias():
         np.float32,
     )
     np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+def test_pos_conv_train_grads_match_xla():
+    """Custom-VJP path (fused forward + Pallas dx/dW/db) vs jax.grad
+    through the XLA conv, interpret mode.  Covers all four parameter
+    gradients (weight_v, weight_g via the weight-norm chain, bias) plus dx,
+    at bf16 matmul tolerance."""
+    from gsoc_wav2vec2_tpu.ops.pallas.pos_conv import pos_conv_fused_train
+
+    g, k, t, c = 16, 128, 256, 256
+    x, params = _setup(t)
+    probe = jax.random.normal(jax.random.PRNGKey(9), (2, t, c), jnp.float32)
+
+    def loss_ref(params, x):
+        y = pos_conv_embed(x, params, k, g, True)  # XLA path on CPU
+        return jnp.sum(y * probe)
+
+    def loss_fused(params, x):
+        kernel = weight_norm_kernel(params["weight_v"], params["weight_g"])
+        y = pos_conv_fused_train(
+            x.astype(jnp.bfloat16), kernel, params["bias"],
+            kernel_size=k, groups=g, gelu_approx=True, interpret=True,
+        )
+        return jnp.sum(y.astype(jnp.float32) * probe)
+
+    want = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    got = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+
+    flat_w, _ = jax.tree_util.tree_flatten_with_path(want)
+    flat_g, _ = jax.tree_util.tree_flatten_with_path(got)
+    for (path, w), (_, gg) in zip(flat_w, flat_g):
+        w, gg = np.asarray(w, np.float32), np.asarray(gg, np.float32)
+        assert w.shape == gg.shape, path
+        scale = np.abs(w).mean() + 1e-6
+        rel = np.abs(gg - w).mean() / scale
+        assert rel < 0.05, f"{path}: mean rel err {rel:.4f}"
+        # and no single catastrophic element
+        assert np.abs(gg - w).max() / (np.abs(w).max() + 1e-6) < 0.2, path
+
+
+def test_pos_conv_train_forward_matches_inference_kernel():
+    """The train-variant forward must agree with the inference kernel
+    bit-for-bit in interpret mode (same dots, same order)."""
+    from gsoc_wav2vec2_tpu.ops.pallas.pos_conv import (
+        pos_conv_fused,
+        pos_conv_fused_train,
+    )
+
+    x, params = _setup(256, seed=3)
+    kernel = weight_norm_kernel(params["weight_v"], params["weight_g"])
+    a = pos_conv_fused(
+        x.astype(jnp.bfloat16), kernel, params["bias"],
+        kernel_size=128, groups=16, gelu_approx=True, interpret=True,
+    )
+    b = pos_conv_fused_train(
+        x.astype(jnp.bfloat16), kernel, params["bias"],
+        kernel_size=128, groups=16, gelu_approx=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -233,3 +233,18 @@ def test_save_and_load_pretrained_remote(memfs):
     ):
         assert pa == pb
         np_.testing.assert_array_equal(np_.asarray(a), np_.asarray(b))
+
+
+def test_fetch_bytes_batch_mixed_protocols(memfs, tmp_path):
+    """A mixed memory:// + file:// URL list must fetch each object from its
+    OWN store (the old code resolved the filesystem from urls[0] only)."""
+    with memfs.open("/bucket/a.bin", "wb") as f:
+        f.write(b"mem-a")
+    local = tmp_path / "b.bin"
+    local.write_bytes(b"file-b")
+    with memfs.open("/bucket/c.bin", "wb") as f:
+        f.write(b"mem-c")
+    got = remote.fetch_bytes_batch(
+        ["memory://bucket/a.bin", f"file://{local}", "memory://bucket/c.bin"]
+    )
+    assert got == [b"mem-a", b"file-b", b"mem-c"]
