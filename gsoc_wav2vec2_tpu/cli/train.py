@@ -73,6 +73,14 @@ class TrainingArgs:
 
     model_id: Optional[str] = None  # from_pretrained source; None = random init
     model_axis: int = 1
+    # bucketed training (round-3 upgrade; SURVEY §5 calls this "the real
+    # capability upgrade" over the reference's truncate-to-audio_maxlen):
+    # sorted audio lengths; each batch pads to its bucket's length (one
+    # compiled step shape per bucket), the loss goes length-aware, and
+    # long utterances train at (up to) the largest bucket instead of being
+    # cut at audio_maxlen.  Single-host only: per-host bucket streams
+    # diverge in shape, which multi-host SPMD lockstep cannot serve.
+    bucket_boundaries: List[int] = field(default_factory=list)
     compute_dtype: str = "bfloat16"
     length_aware_loss: bool = False
     # rematerialise per-layer activations in backward: needed at the
@@ -146,6 +154,7 @@ def _loader(args: TrainingArgs, tfrecords, data_dir, drop_remainder=True):
         batch_size=global_batch // jax.process_count(),
         audio_maxlen=args.audio_maxlen,
         labels_maxlen=args.labels_maxlen,
+        bucket_boundaries=args.bucket_boundaries or None,
     )
     return LibriSpeechDataLoader(
         largs,
@@ -237,12 +246,15 @@ def run_stage(
         ckpt.close()
         return state.params
 
+    bucketed = bool(args.bucket_boundaries)
     step_fn = make_train_step(
         config,
         tx,
         division_factor=global_batch,
-        with_attention_mask=config.is_robust or args.length_aware_loss,
-        length_aware=args.length_aware_loss,
+        # bucketed batches still pad within a bucket: masks + length-aware
+        # CTC keep that padding out of the loss (SURVEY §5)
+        with_attention_mask=config.is_robust or args.length_aware_loss or bucketed,
+        length_aware=args.length_aware_loss or bucketed,
         compute_dtype=getattr(jnp, args.compute_dtype),
         remat=(args.remat_policy if args.remat_policy != "full" else True)
         if args.remat else False,
@@ -370,6 +382,12 @@ def main(args: TrainingArgs) -> None:
     np.random.seed(args.seed)
 
     multihost.initialize()  # no-op single-host; pod bootstrap otherwise
+    if args.bucket_boundaries and jax.process_count() > 1:
+        raise ValueError(
+            "--bucket_boundaries is single-host only: per-host bucket "
+            "streams diverge in shape, which multi-host SPMD lockstep "
+            "cannot serve; drop the buckets or run one process"
+        )
     mesh = make_mesh(model=args.model_axis)
     print(f"mesh: {dict(mesh.shape)}, devices: {jax.device_count()}")
 
@@ -449,6 +467,12 @@ def parse_args() -> TrainingArgs:
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True)
     parser.add_argument("--remat_policy", type=str, default="dots",
                         choices=["full", "dots"])
+    parser.add_argument(
+        "--bucket_boundaries", nargs="*", type=int, default=[],
+        help="bucketed training: sorted audio lengths (samples); each batch "
+             "pads to its bucket, loss goes length-aware, no truncation "
+             "below the largest bucket",
+    )
     parser.add_argument("--train_tfrecords", nargs="*", default=[])
     parser.add_argument("--val_tfrecords", nargs="*", default=[])
     parser.add_argument("--test_tfrecords", nargs="*", default=[])

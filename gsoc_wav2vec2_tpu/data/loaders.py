@@ -113,6 +113,14 @@ class LibriSpeechDataLoaderArgs:
     labels_maxlen: int = 128
     labels_pad_id: int = 0
 
+    # bucketed batching (round-3 upgrade; absent in the reference, which
+    # truncates everything to audio_maxlen — `data_utils.py:75-78`): sorted
+    # audio lengths; each sample pads to the smallest bucket that fits it,
+    # one compiled train-step shape per bucket.  Samples longer than the
+    # largest bucket truncate to it (so set the top bucket to the true
+    # corpus maximum to train without truncation).  None = fixed-shape mode.
+    bucket_boundaries: Optional[List[int]] = None
+
     def __post_init__(self):
         if self.from_tfrecords:
             self.data_dir = None
@@ -149,6 +157,7 @@ class CommonDataLoader:
         labels_maxlen: int,
         shard_index: int = 0,
         shard_count: int = 1,
+        bucket_boundaries: Optional[List[int]] = None,
     ):
         self.batch_size = batch_size
         self.buffer_size = buffer_size
@@ -158,23 +167,74 @@ class CommonDataLoader:
         self.labels_maxlen = labels_maxlen
         self.shard_index = shard_index
         self.shard_count = shard_count
+        self.bucket_boundaries = sorted(bucket_boundaries) if bucket_boundaries else None
         self.processor = Wav2Vec2Processor(is_tokenizer=False)
         self.tokenizer = Wav2Vec2Processor(is_tokenizer=True)
 
     # -- batching ---------------------------------------------------------
 
-    def _pad_batch(self, samples) -> dict:
+    def _pad_batch(self, samples, audio_len: Optional[int] = None) -> dict:
         b = len(samples)
-        speech = np.full((b, self.audio_maxlen), self.audio_pad_id, SPEECH_DTYPE)
+        audio_len = self.audio_maxlen if audio_len is None else audio_len
+        speech = np.full((b, audio_len), self.audio_pad_id, SPEECH_DTYPE)
         labels = np.full((b, self.labels_maxlen), self.labels_pad_id, LABEL_DTYPE)
-        attention_mask = np.zeros((b, self.audio_maxlen), SPEECH_DTYPE)
+        attention_mask = np.zeros((b, audio_len), SPEECH_DTYPE)
         for i, (s, l) in enumerate(samples):
-            s = s[: self.audio_maxlen]
+            s = s[:audio_len]
             l = l[: self.labels_maxlen]
             speech[i, : len(s)] = s
             labels[i, : len(l)] = l
             attention_mask[i, : len(s)] = 1.0
         return {"speech": speech, "labels": labels, "attention_mask": attention_mask}
+
+    def _shuffled(self, sample_iter, seed: Optional[int]):
+        """Reservoir shuffle (the behaviour the reference *intended* at
+        `data_utils.py:59-60` — its call was a no-op); `seed=None` streams
+        straight through."""
+        if seed is None:
+            yield from sample_iter
+            return
+        rng = np.random.default_rng(seed)
+        pool: list = []
+        for sample in sample_iter:
+            if len(pool) < self.buffer_size:
+                pool.append(sample)
+                continue
+            j = int(rng.integers(0, len(pool)))
+            pool[j], sample = sample, pool[j]
+            yield sample
+        rng.shuffle(pool)
+        yield from pool
+
+    def _fixed_batches(self, stream, drop_remainder: bool):
+        buf: list = []
+        for sample in stream:
+            buf.append(sample)
+            if len(buf) == self.batch_size:
+                yield self._pad_batch(buf)
+                buf = []
+        if buf and not drop_remainder:
+            yield self._pad_batch(buf)
+
+    def _bucket_batches(self, stream, drop_remainder: bool):
+        """One pool per length bucket; a batch is emitted (padded to its
+        bucket's length) whenever a pool fills.  2-4 buckets = 2-4 compiled
+        step shapes, padding bounded by the bucket spacing — the capability
+        upgrade over the reference's truncate-to-one-shape training
+        (SURVEY.md §5, `data_utils.py:75-78`)."""
+        buckets = self.bucket_boundaries
+        pools = {b: [] for b in buckets}
+        for sample in stream:
+            length = len(sample[0])
+            b = next((bb for bb in buckets if length <= bb), buckets[-1])
+            pools[b].append(sample)
+            if len(pools[b]) == self.batch_size:
+                yield self._pad_batch(pools[b], audio_len=b)
+                pools[b] = []
+        if not drop_remainder:
+            for b in buckets:
+                if pools[b]:
+                    yield self._pad_batch(pools[b], audio_len=b)
 
     def batchify(
         self,
@@ -182,52 +242,15 @@ class CommonDataLoader:
         seed: Optional[int] = None,
         drop_remainder: bool = True,
     ) -> Iterator[dict]:
-        """Yield fixed-shape batches.  `seed is not None` enables a
-        buffer_size reservoir shuffle (the behaviour the reference
-        *intended* at `data_utils.py:59-60` — its call was a no-op)."""
-
-        def generate():
-            if seed is None:
-                buf = []
-                for sample in sample_iter:
-                    buf.append(sample)
-                    if len(buf) == self.batch_size:
-                        yield self._pad_batch(buf)
-                        buf = []
-                if buf and not drop_remainder:
-                    yield self._pad_batch(buf)
-            else:
-                rng = np.random.default_rng(seed)
-                pool: list = []
-                batch: list = []
-
-                def drain(sample):
-                    nonlocal batch
-                    batch.append(sample)
-                    if len(batch) == self.batch_size:
-                        out = self._pad_batch(batch)
-                        batch = []
-                        return out
-                    return None
-
-                for sample in sample_iter:
-                    if len(pool) < self.buffer_size:
-                        pool.append(sample)
-                        continue
-                    j = int(rng.integers(0, len(pool)))
-                    pool[j], sample = sample, pool[j]
-                    out = drain(sample)
-                    if out is not None:
-                        yield out
-                rng.shuffle(pool)
-                for sample in pool:
-                    out = drain(sample)
-                    if out is not None:
-                        yield out
-                if batch and not drop_remainder:
-                    yield self._pad_batch(batch)
-
-        return _prefetch(generate())
+        """Yield padded batches: fixed `(batch, audio_maxlen)` shape, or
+        per-bucket shapes when `bucket_boundaries` is set."""
+        stream = self._shuffled(sample_iter, seed)
+        gen = (
+            self._bucket_batches(stream, drop_remainder)
+            if self.bucket_boundaries
+            else self._fixed_batches(stream, drop_remainder)
+        )
+        return _prefetch(gen)
 
 
 class LibriSpeechDataLoader(CommonDataLoader):
@@ -253,6 +276,7 @@ class LibriSpeechDataLoader(CommonDataLoader):
             args.labels_maxlen,
             shard_index,
             shard_count,
+            bucket_boundaries=args.bucket_boundaries,
         )
         self.from_tfrecords = args.from_tfrecords
         self.tfrecords = args.tfrecords
@@ -342,6 +366,9 @@ class LibriSpeechDataLoader(CommonDataLoader):
         epoch instead of allgathering a flag every step.
         """
         if self.from_tfrecords:
+            return None
+        if self.bucket_boundaries:
+            # per-bucket fill order depends on the length distribution
             return None
         n = len(self._matched_files())
         if drop_remainder:
