@@ -172,6 +172,85 @@ def _bench_export(config, params):
     return timeit(call, params, speech), timeit(live, params, speech)
 
 
+ROBUST_BATCH = 8  # inference batch for the 317M family (saturates v5e)
+ROBUST_TRAIN_BATCH = 8
+
+
+def _bench_robust():
+    """Robust/XLSR-53 family (24 layers, 1024-d, masked attention):
+    inference RTF and stage-2 training step — the reference's
+    `readme.md:29` makes XLSR-53 a first-class capability, so its perf is
+    first-class here too."""
+    from gsoc_wav2vec2_tpu import RobustWav2Vec2Config
+    from gsoc_wav2vec2_tpu.models.modeling import (
+        init_wav2vec2_for_ctc_params,
+        wav2vec2_for_ctc_forward,
+    )
+    from gsoc_wav2vec2_tpu.training import (
+        TrainState,
+        create_optimizer,
+        make_train_step,
+    )
+
+    config = RobustWav2Vec2Config()
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
+    speech = jax.random.normal(
+        jax.random.PRNGKey(5), (ROBUST_BATCH, AUDIO_LEN), jnp.float32
+    )
+    mask = jnp.ones((ROBUST_BATCH, AUDIO_LEN), jnp.float32)
+
+    @jax.jit
+    def fwd(params, speech, mask):
+        logits = wav2vec2_for_ctc_forward(
+            params, config, speech, mask, training=False,
+            compute_dtype=jnp.bfloat16,
+        )
+        return jnp.sum(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+
+    for _ in range(WARMUP):
+        float(fwd(params, speech, mask))
+    start = time.perf_counter()
+    acc = None
+    for _ in range(ITERS):
+        acc = fwd(params, speech, mask)
+    float(acc)
+    elapsed = time.perf_counter() - start
+    rtf = ITERS * ROBUST_BATCH * AUDIO_LEN / SAMPLE_RATE / elapsed
+
+    batch = {
+        "speech": jax.random.normal(
+            jax.random.PRNGKey(6), (ROBUST_TRAIN_BATCH, AUDIO_LEN), jnp.float32
+        ),
+        "labels": (
+            jnp.tile(
+                jnp.arange(1, 33, dtype=jnp.int32)[None, :],
+                (ROBUST_TRAIN_BATCH, 1),
+            ) % 31 + 1
+        ),
+        "attention_mask": jnp.ones((ROBUST_TRAIN_BATCH, AUDIO_LEN), jnp.float32),
+    }
+    tx = create_optimizer(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    step = make_train_step(
+        config, tx, division_factor=ROBUST_TRAIN_BATCH,
+        with_attention_mask=True, compute_dtype=jnp.bfloat16, remat="dots",
+        frozen=("feature_extractor",),
+    )
+    rng = jax.random.PRNGKey(7)
+    state, m = step(state, batch, rng)
+    float(m["loss"])
+    start = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, m = step(state, batch, rng)
+    float(m["loss"])
+    train_ms = (time.perf_counter() - start) / TRAIN_ITERS * 1000
+    return rtf, train_ms
+
+
 def main() -> None:
     from gsoc_wav2vec2_tpu import Wav2Vec2Config
     from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
@@ -201,6 +280,12 @@ def main() -> None:
         )
     except Exception as e:
         extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        robust_rtf, robust_train_ms = _bench_robust()
+        extra["robust_rtf_b8"] = round(robust_rtf, 1)
+        extra["robust_train_ms_per_step_b8_246k_remat"] = round(robust_train_ms, 1)
+    except Exception as e:
+        extra["robust_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(

@@ -85,9 +85,12 @@ def group_norm(
 def murmur_mix(x: jax.Array) -> jax.Array:
     """Murmur3-style 32-bit avalanche finalizer (pure uint32 VPU ops).
 
-    Shared by the XLA-side dropout below and the Pallas flash-attention
-    kernel's in-kernel dropout — one definition, so the two mask
-    constructions can never silently diverge.
+    Used by the XLA-side dropout below.  (The Pallas flash-attention
+    kernel's in-kernel dropout uses its own lighter 4-op mix — see
+    `ops/pallas/flash_attention.py::_dropout_mask` — because that mask is
+    regenerated over B·H·L² elements in both directions; fwd/bwd
+    consistency there comes from sharing the one kernel-local function,
+    not from this one.)
     """
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x7FEB352D)
@@ -113,15 +116,26 @@ def _hash_keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
     a single 32-bit seed would birthday-collide across a long run's ~2M
     mask draws (~40/step × 50k steps), silently reusing a mask between two
     same-shaped sites; with 64 seed bits a collision needs ~2^32 draws.
+
+    The linear element index is built SHAPE-NATIVE from per-axis
+    `broadcasted_iota`s (row-major strides) rather than a 1-D `iota` +
+    reshape: the reshape is a layout change XLA cannot fuse into the
+    consumer, which materialised a 4-byte-per-element index buffer for
+    every mask (3.6 GB for one FFN mask at the training recipe shape) —
+    measured 23 ms/step of the 29 ms XLA-side dropout cost on v5e.  The
+    index values (and therefore the masks) are bit-identical either way.
     """
-    n = 1
-    for d in shape:
-        n *= d
-    idx = jax.lax.iota(jnp.uint32, n)
+    idx = jnp.zeros(shape, jnp.uint32)
+    stride = 1
+    for axis in reversed(range(len(shape))):
+        idx = idx + jax.lax.broadcasted_iota(jnp.uint32, shape, axis) * jnp.uint32(
+            stride
+        )
+        stride *= shape[axis]
     x = murmur_mix(idx ^ (seed[0].astype(jnp.uint32) * jnp.uint32(2654435761)))
     x = murmur_mix(x ^ seed[1].astype(jnp.uint32))
     threshold = jnp.uint32(int((1.0 - rate) * float(2**32 - 1)))
-    return (x < threshold).reshape(shape)
+    return x < threshold
 
 
 def dropout(

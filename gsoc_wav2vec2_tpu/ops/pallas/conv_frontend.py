@@ -404,11 +404,12 @@ def supports(config, training: bool, frozen: bool = False) -> bool:
         return False
     if config.feature_extractor_norm_type == "group":
         return not config.conv_bias
-    # robust variant: correct (tested) but measured ~1.5% BEHIND XLA on v5e
-    # at the large-model shape — the per-frame LayerNorms are cross-lane VPU
-    # reductions the base kernel's precomputed scale/shift avoids.  Opt-in
-    # until it wins.
+    # robust variant: ON by default since round 3 — re-measured at the
+    # large-model shape (B=8 x 246000 bf16, v5e) it now beats XLA 48.0 vs
+    # 50.0 ms/forward (RTF 2562 vs 2462); round 2's 1.5%-behind result
+    # predated the in-Pallas statistics work.  W2V2_FUSED_CONV_ROBUST=0
+    # forces the XLA path.
     return (
         config.feature_extractor_norm_type == "layer"
-        and os.environ.get("W2V2_FUSED_CONV_ROBUST", "0") == "1"
+        and os.environ.get("W2V2_FUSED_CONV_ROBUST", "1") != "0"
     )

@@ -40,25 +40,37 @@ DEFAULT_Q_BLOCK = 256
 # shape (246000 samples -> 768 frames, 400000 -> 1249) with headroom
 MAX_KV = 4096
 MAX_KV_TRAIN = 4096
+WHOLE_L_BWD_LIMIT = 1024  # backward uses one whole-L q block up to this L
 
 
 def _dropout_mask(shape, rate: float, seed, row_offset):
-    """Counter-based keep-mask: murmur3-style integer mix of (seed, GLOBAL
-    element index).  Stateless and layout-independent, so the forward and
-    backward kernels regenerate bit-identical masks regardless of their
-    q-block grids — the hardware PRNG (`pltpu.prng_random_bits`) does NOT
+    """Counter-based keep-mask: integer mix of (seed, GLOBAL element
+    index).  Stateless and layout-independent, so the forward and backward
+    kernels regenerate bit-identical masks regardless of their q-block
+    grids — the hardware PRNG (`pltpu.prng_random_bits`) does NOT
     guarantee that: its bit-to-element mapping follows the vector layout
     Mosaic picks per kernel (observed as a fwd/bwd mask mismatch in
     finite-difference tests).  `row_offset` maps the block-local row to the
-    global row so differently-blocked kernels agree.  Pure VPU integer ops,
-    ~7 instructions per element.
-    """
-    from ..basic import murmur_mix
+    global row so differently-blocked kernels agree.
 
+    The mix is a 4-op mul/xorshift/mul chain rather than the XLA-side
+    dropout's full murmur finaliser: this mask is regenerated over
+    B·H·L² elements in BOTH directions (~5.2 G elements/step at the
+    training recipe shape), where the 3 saved VPU ops are worth ~5 ms/step
+    on v5e (244 → 239 ms).  Quality is ample for prob-dropout: the seed
+    lands in every bit through the first multiply, the xorshift folds high
+    entropy down, and the second multiply re-spreads it to the high bits
+    the threshold compare weighs most; the keep decision is exactly
+    Bernoulli(1-rate) per element either way.
+    """
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row_offset)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = rows * jnp.uint32(shape[1]) + cols
-    x = murmur_mix(x ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761)))
+    x = (x ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761))) * jnp.uint32(
+        0x7FEB352D
+    )
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
     threshold = jnp.uint32(int((1.0 - rate) * float(2**32 - 1)))
     return x < threshold
 
@@ -228,12 +240,14 @@ def _flash_bwd(q, k, v, bias, seed, lse, dout, dropout_rate: float,
                q_block: int, interpret: bool):
     b, h, l, d = q.shape
     bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
-    # VMEM holds ~4 (bq, L) f32 tiles + whole K/V.  Up to 1024 frames the
-    # whole-L block fits (~16 MB) and keeps the grid fully parallel (no
-    # dk/dv revisit serialisation) — that covers the 246000-sample recipe
-    # shape (768 frames); longer sequences shrink the q block to bound the
-    # working set at ~8 MB
-    if l <= 1024:
+    # VMEM holds ~4 (bq, L) f32 tiles + whole K/V.  Up to WHOLE_L_BWD_LIMIT
+    # frames the whole-L block fits (~16 MB) and keeps the grid fully
+    # parallel (no dk/dv revisit serialisation) — that covers the
+    # 246000-sample recipe shape (768 frames); longer sequences shrink the
+    # q block to bound the working set at ~8 MB.  (Module-level knob so the
+    # block strategy can be swept in-situ; 768-frame measurement on v5e:
+    # whole-L 246 ms/step vs q-blocked 256 ms — whole-L wins.)
+    if l <= WHOLE_L_BWD_LIMIT:
         bq = l
     else:
         bq = min(q_block if l <= 2048 else q_block // 2, l)
