@@ -60,6 +60,12 @@ def main() -> None:
         help="shard eval batches over ALL devices (data-parallel mesh) "
              "instead of evaluating on one chip",
     )
+    parser.add_argument(
+        "--beam_width", type=int, default=0,
+        help="CTC prefix beam search width (0 = greedy, the reference's "
+             "decode); sums alignment mass per transcription instead of "
+             "taking the best frame path",
+    )
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--pad_to", type=int, default=246000)
     parser.add_argument("--limit", type=int, default=0, help="cap sample count")
@@ -88,7 +94,9 @@ def main() -> None:
         multihost.initialize()
         mesh = make_mesh(model=1)  # every device on the data axis
         print(f"sharded eval over {jax.device_count()} devices")
-    evaluator = GreedyCTCEvaluator(model.config, model.params, mesh=mesh)
+    evaluator = GreedyCTCEvaluator(
+        model.config, model.params, mesh=mesh, beam_width=args.beam_width
+    )
     if args.tfrecords:
         from ..data.remote import expand_patterns
 
@@ -151,6 +159,8 @@ def main() -> None:
     }
     if args.mode == "single":
         report["round_to"] = args.round_to
+    if args.beam_width:
+        report["beam_width"] = args.beam_width
     print(json.dumps(report))
 
 

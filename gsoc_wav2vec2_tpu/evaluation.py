@@ -113,6 +113,7 @@ class GreedyCTCEvaluator:
         compute_dtype=jnp.bfloat16,
         use_attention_mask: Optional[bool] = None,
         mesh=None,
+        beam_width: int = 0,
     ):
         self.config = config
         self.params = params
@@ -122,6 +123,10 @@ class GreedyCTCEvaluator:
             config.is_robust if use_attention_mask is None else use_attention_mask
         )
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        # beam_width > 0: CTC prefix beam search over the summed alignment
+        # mass instead of greedy argmax (`decoding.py` — an upgrade over
+        # the reference's greedy-only decode, `processor.py:71-89`)
+        self.beam_width = beam_width
         self._jitted = {}
 
     # -- mesh plumbing ----------------------------------------------------
@@ -197,25 +202,32 @@ class GreedyCTCEvaluator:
         return errors / words, n
 
     def _step(self, with_mask: bool):
-        if with_mask not in self._jitted:
+        key = (with_mask, self.beam_width > 0)
+        if key not in self._jitted:
             config, cdtype = self.config, self.compute_dtype
+            want_logprobs = self.beam_width > 0
 
             def fn(params, speech, mask=None):
                 logits = wav2vec2_for_ctc_forward(
                     params, config, speech, mask, training=False,
                     compute_dtype=cdtype,
                 )
-                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if want_logprobs:
+                    out = jax.nn.log_softmax(logits, axis=-1)
+                else:
+                    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 if mask is not None:
                     lengths = config.conv_output_length(
                         jnp.sum(mask.astype(jnp.int32), axis=-1)
                     ).astype(jnp.int32)
                 else:
-                    lengths = jnp.full((preds.shape[0],), preds.shape[1], jnp.int32)
-                return preds, lengths
+                    lengths = jnp.full(
+                        (logits.shape[0],), logits.shape[1], jnp.int32
+                    )
+                return out, lengths
 
-            self._jitted[with_mask] = jax.jit(fn)
-        return self._jitted[with_mask]
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
 
     def predict_batch(
         self, speech: np.ndarray, sample_lengths: Optional[np.ndarray] = None
@@ -275,6 +287,19 @@ class GreedyCTCEvaluator:
             frame_lengths = self.config.conv_output_length(sample_lengths)
         preds = np.asarray(preds)
         frame_lengths = np.asarray(frame_lengths)
+        if self.beam_width > 0:
+            from .decoding import ctc_beam_decode_batch
+
+            seqs = ctc_beam_decode_batch(
+                preds[:b], frame_lengths[:b], self.beam_width,
+                self.config.pad_id,
+            )
+            return [
+                self.tokenizer.decode(
+                    np.asarray(s, np.int32), group_tokens=False
+                )
+                for s in seqs
+            ]
         return [
             self.tokenizer.decode(preds[i, : frame_lengths[i]])
             for i in range(b)  # pad rows (if any) fall off here

@@ -266,3 +266,60 @@ def test_evaluate_cli_reads_tfrecords(tmp_path):
     report = json.loads(result.stdout.strip().splitlines()[-1])
     assert report["num_samples"] == 3
     assert 0.0 <= report["wer"] <= 1.0
+
+
+def test_evaluate_cli_sharded_matches_unsharded(tmp_path):
+    """`cli.evaluate --sharded` (data-parallel mesh over all 8 virtual
+    devices) must report the same WER as the default single-device run."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from flac_encoder import encode_flac
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2ForCTC
+
+    config = Wav2Vec2Config(
+        hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    model_dir = str(tmp_path / "model")
+    Wav2Vec2ForCTC(config, seed=0).save_pretrained(model_dir)
+
+    chap = tmp_path / "1" / "1"
+    chap.mkdir(parents=True)
+    rng = np.random.default_rng(9)
+    lines = []
+    for i in range(5):  # 5 samples: exercises the ragged final batch
+        n = int(rng.integers(1200, 2000))
+        sig = np.clip(
+            1500 * np.sin(np.arange(n) / (3.0 + i)), -32768, 32767
+        ).astype(np.int64)
+        (chap / f"1-1-{i:04d}.flac").write_bytes(
+            encode_flac(sig, subframe_kind="fixed", order=2, rice_param=7)
+        )
+        lines.append(f"1-1-{i:04d} SOME WORDS HERE")
+    (chap / "1-1.trans.txt").write_text("\n".join(lines))
+
+    def run(extra):
+        env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        result = subprocess.run(
+            [
+                sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.evaluate",
+                "--model_dir", model_dir, "--data_dir", str(tmp_path),
+                "--mode", "padded", "--pad_to", "2000", "--batch_size", "4",
+            ] + extra,
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        return json.loads(result.stdout.strip().splitlines()[-1])
+
+    plain = run([])
+    sharded = run(["--sharded"])
+    assert plain["num_samples"] == sharded["num_samples"] == 5
+    assert plain["wer"] == sharded["wer"]
