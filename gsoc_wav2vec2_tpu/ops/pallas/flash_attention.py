@@ -41,6 +41,12 @@ DEFAULT_Q_BLOCK = 256
 MAX_KV = 4096
 MAX_KV_TRAIN = 4096
 WHOLE_L_BWD_LIMIT = 1024  # backward uses one whole-L q block up to this L
+# Forward mirrors the backward's whole-L policy: at the recipe shape
+# (768 frames) one (L, L) f32 score tile is 2.4 MB — a single grid step
+# per (b, h) removes the q-block pipeline overhead entirely.  Measured on
+# v5e at B=32×246k train: whole-L 238.1-238.4 ms/step vs 256-block
+# 243.6-246.5 ms (3 trials each); q_block=128 regresses to 252 ms.
+WHOLE_L_FWD_LIMIT = 1024
 
 
 def _dropout_mask(shape, rate: float, seed, row_offset):
@@ -189,7 +195,7 @@ def _flash_fwd(q, k, v, bias, seed, dropout_rate: float, q_block: int,
 
     # dropout masks are generated from GLOBAL (row, col) indices, so fwd and
     # bwd may block the q axis independently
-    bq = min(q_block, l)
+    bq = l if l <= WHOLE_L_FWD_LIMIT else min(q_block, l)
     while l % bq:
         bq //= 2
     grid = (b * h, l // bq)
