@@ -7,7 +7,11 @@ Public surface mirrors the reference package
 """
 
 from .data.processor import Wav2Vec2Processor
-from .models.config import RobustWav2Vec2Config, Wav2Vec2Config
+from .models.config import (
+    RobustWav2Vec2Config,
+    Wav2Vec2Config,
+    Wav2Vec2PretrainingConfig,
+)
 from .models.modeling import Wav2Vec2ForCTC, Wav2Vec2Model
 from .ops.ctc import CTCLoss
 
@@ -16,6 +20,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Wav2Vec2Config",
     "RobustWav2Vec2Config",
+    "Wav2Vec2PretrainingConfig",
     "CTCLoss",
     "Wav2Vec2ForCTC",
     "Wav2Vec2Model",

@@ -1,0 +1,308 @@
+"""Self-supervised pretraining driver (contrastive + diversity objective).
+
+BEYOND the reference: thevasudevgupta/gsoc-wav2vec2 starts every recipe from
+an already-pretrained checkpoint (`src/main.py` fine-tunes only); this
+driver trains that checkpoint itself — the wav2vec2 paper's masked
+contrastive objective (arXiv:2006.11477) over unlabeled audio — and exports
+a backbone `cli.train` can fine-tune, closing the model lifecycle on TPU.
+
+Schedule defaults follow the HF/fairseq pretraining recipe: AdamW with
+linear warmup → linear decay, Gumbel temperature annealed
+`max * decay^step` down to `min`.  Both schedules are traced (the LR inside
+the optimizer, the temperature as a step argument), so they never
+recompile the step.
+
+Usage:
+    python -m gsoc_wav2vec2_tpu.cli.pretrain --train_dir ... --epochs 1
+(labels in the corpus are ignored; only audio is read.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.loaders import LibriSpeechDataLoader, LibriSpeechDataLoaderArgs
+from ..models.config import Wav2Vec2PretrainingConfig
+from ..models.pretraining import (
+    ctc_params_from_pretraining,
+    init_wav2vec2_for_pretraining_params,
+    make_pretrain_step,
+)
+from ..ops.specaugment import compute_mask_indices
+from ..parallel import make_mesh, multihost, replicated, shard_params
+from ..training import CheckpointManager, TrainState
+from ..utils.logging import MetricLogger
+
+
+@dataclass
+class PretrainingArgs:
+    epochs: int = 1
+    lr: float = 5e-4
+    warmup_steps: int = 32000
+    weight_decay: float = 0.01
+    adam_eps: float = 1e-6
+
+    # Gumbel temperature anneal (HF run_wav2vec2_pretraining_no_trainer.py
+    # defaults: 2 → 0.5, multiplicative decay per step)
+    gumbel_temp_max: float = 2.0
+    gumbel_temp_min: float = 0.5
+    gumbel_temp_decay: float = 0.999995
+
+    # pretraining masks aggressively (paper §4.2: p=0.065 per-start ≈ 49%
+    # of frames; the HF config expresses it as mask_time_prob=0.65 spans)
+    mask_time_prob: float = 0.65
+    mask_time_length: int = 10
+
+    batch_size_per_device: int = 8
+    audio_maxlen: int = 246000
+    seed: int = 0
+    logging_steps: int = 16
+    ckpt_every_epochs: int = 1
+
+    model_axis: int = 1
+    compute_dtype: str = "bfloat16"
+    remat: bool = True
+    remat_policy: str = "dots"
+
+    train_tfrecords: List[str] = field(default_factory=list)
+    train_dir: Optional[str] = None
+    # path to a config.json (Wav2Vec2PretrainingConfig fields); default =
+    # the base-geometry pretraining config
+    config: Optional[str] = None
+    ckpt_dir: str = "pretrain_checkpoints"
+    log_dir: str = "logs"
+    wandb_project: Optional[str] = None
+    resume: Optional[str] = None
+
+    def __post_init__(self):
+        bucket = os.environ.get("DATA_BUCKET_NAME")
+        if bucket and not (self.train_tfrecords or self.train_dir):
+            self.train_tfrecords = [os.path.join(bucket, "train", "*.tfrecord")]
+        dummy = os.environ.get("DUMMY_DATA_PATH")
+        if dummy and not (self.train_tfrecords or self.train_dir):
+            self.train_dir = dummy
+        ckpt_bucket = os.environ.get("CKPT_BUCKET_NAME")
+        if ckpt_bucket:
+            self.ckpt_dir = ckpt_bucket
+        from ..data.remote import expand_patterns
+
+        self.train_tfrecords = expand_patterns(self.train_tfrecords)
+
+
+def _global_batch(args: PretrainingArgs) -> int:
+    return args.batch_size_per_device * max(
+        jax.device_count() // args.model_axis, 1
+    )
+
+
+def gumbel_temperature(args: PretrainingArgs, step: int) -> float:
+    return max(
+        args.gumbel_temp_max * args.gumbel_temp_decay**step,
+        args.gumbel_temp_min,
+    )
+
+
+def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = None):
+    multihost.initialize()
+    mesh = make_mesh(model=args.model_axis)
+    if config is None:
+        config = (
+            Wav2Vec2PretrainingConfig.from_json(args.config)
+            if args.config else Wav2Vec2PretrainingConfig()
+        )
+    global_batch = _global_batch(args)
+    if global_batch % jax.process_count() != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{jax.process_count()} processes"
+        )
+
+    loader = LibriSpeechDataLoader(
+        LibriSpeechDataLoaderArgs(
+            from_tfrecords=bool(args.train_tfrecords),
+            tfrecords=args.train_tfrecords or None,
+            data_dir=args.train_dir,
+            batch_size=global_batch // jax.process_count(),
+            audio_maxlen=args.audio_maxlen,
+        ),
+        shard_index=jax.process_index(),
+        shard_count=jax.process_count(),
+    )
+    steps_per_epoch = loader.num_batches(drop_remainder=True)
+    total_steps = max(steps_per_epoch * args.epochs, 1)
+
+    params = init_wav2vec2_for_pretraining_params(
+        jax.random.PRNGKey(args.seed), config
+    )
+    # LR schedule lives INSIDE the optimizer (step-indexed, traced): linear
+    # warmup to args.lr then linear decay to zero — zero host work per step
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, args.lr, max(args.warmup_steps, 1)),
+            optax.linear_schedule(
+                args.lr, 0.0, max(total_steps - args.warmup_steps, 1)
+            ),
+        ],
+        [max(args.warmup_steps, 1)],
+    )
+    tx = optax.adamw(schedule, weight_decay=args.weight_decay, eps=args.adam_eps)
+
+    params = shard_params(params, mesh)
+    repl = replicated(mesh)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), repl),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    ckpt = CheckpointManager(os.path.join(args.ckpt_dir, "pretrain"))
+    start_epoch = 0
+    if args.resume is not None:
+        last = ckpt.latest_step()
+        if last is not None:
+            state = ckpt.restore(state)
+            start_epoch = int(last)
+            print(f"pretrain: resumed epoch {start_epoch} from {args.resume}")
+
+    step_fn = make_pretrain_step(
+        config,
+        tx,
+        division_factor=global_batch,
+        compute_dtype=getattr(jnp, args.compute_dtype),
+        remat=(args.remat_policy if args.remat_policy != "full" else True)
+        if args.remat else False,
+        mesh=mesh,
+    )
+    frames = int(config.conv_output_length(args.audio_maxlen))
+
+    @jax.jit
+    def batch_masks(rng):
+        return compute_mask_indices(
+            rng, global_batch, frames, args.mask_time_prob,
+            args.mask_time_length,
+        )
+
+    rng = jax.device_put(jax.random.PRNGKey(args.seed + 1), repl)
+    logger = MetricLogger(args.log_dir, project=args.wandb_project,
+                          config=asdict(args))
+    step_count = int(jax.device_get(state.step))
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            epoch_start = time.time()
+            epoch_batches = 0
+            batches = multihost.lockstep_batches(
+                loader(seed=args.seed + epoch, drop_remainder=True),
+                num_batches=steps_per_epoch,
+            )
+            for batch in batches:
+                epoch_batches += 1
+                device_batch = multihost.host_local_batch_to_global(
+                    {"speech": batch["speech"]}, mesh
+                )
+                mask_rng = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed + 7), step_count
+                )
+                device_batch["mask_time_indices"] = batch_masks(mask_rng)
+                temp = gumbel_temperature(args, step_count)
+                state, metrics = step_fn(
+                    state, device_batch, rng, jnp.float32(temp)
+                )
+                step_count += 1
+                if step_count % args.logging_steps == 0:
+                    logger.log(
+                        {
+                            "pretrain/loss": float(metrics["loss"]),
+                            "pretrain/contrastive":
+                                float(metrics["contrastive_loss"]),
+                            "pretrain/diversity":
+                                float(metrics["diversity_loss"]),
+                            "pretrain/perplexity":
+                                float(metrics["codevector_perplexity"]),
+                            "pretrain/gumbel_temperature": temp,
+                            "epoch": epoch,
+                        },
+                        step=step_count,
+                    )
+            if epoch_batches == 0:
+                raise RuntimeError(
+                    "pretraining loader produced no batches — fewer samples "
+                    "than the global batch, or no audio found"
+                )
+            if (epoch + 1) % max(args.ckpt_every_epochs, 1) == 0 \
+                    or epoch + 1 == args.epochs:
+                ckpt.save(epoch + 1, state)
+            logger.log(
+                {"pretrain/epoch_time": time.time() - epoch_start,
+                 "epoch": epoch},
+                step=step_count,
+            )
+    except KeyboardInterrupt:
+        print("pretraining interrupted — saving progress")
+    ckpt.wait_until_finished()
+    ckpt.close()
+
+    # export a fine-tune-ready backbone: cli.train --model_id <out_dir>
+    if jax.process_index() == 0:
+        from dataclasses import fields as dc_fields
+
+        from ..models.config import Wav2Vec2Config
+        from ..models.modeling import Wav2Vec2ForCTC
+
+        out_dir = os.path.join(args.ckpt_dir, "for_ctc")
+        host_params = jax.device_get(state.params)
+        # downcast to the plain fine-tuning config so cli.train's
+        # `from_pretrained(out_dir)` round-trips the config.json
+        ctc_config = Wav2Vec2Config(**{
+            f.name: getattr(config, f.name) for f in dc_fields(Wav2Vec2Config)
+        })
+        ctc_params = ctc_params_from_pretraining(
+            host_params, ctc_config, jax.random.PRNGKey(args.seed + 2)
+        )
+        ctc = Wav2Vec2ForCTC(ctc_config, params=ctc_params)
+        ctc.save_pretrained(out_dir)
+        print(f"saved fine-tune-ready model to {out_dir}")
+    logger.finish()
+
+
+def parse_args() -> PretrainingArgs:
+    parser = argparse.ArgumentParser("wav2vec2 self-supervised pretraining")
+    for f_name, f_def in (
+        ("epochs", 1), ("warmup_steps", 32000), ("mask_time_length", 10),
+        ("batch_size_per_device", 8), ("audio_maxlen", 246000), ("seed", 0),
+        ("logging_steps", 16), ("ckpt_every_epochs", 1), ("model_axis", 1),
+    ):
+        parser.add_argument(f"--{f_name}", type=int, default=f_def)
+    for f_name, f_def in (
+        ("lr", 5e-4), ("weight_decay", 0.01), ("gumbel_temp_max", 2.0),
+        ("gumbel_temp_min", 0.5), ("gumbel_temp_decay", 0.999995),
+        ("mask_time_prob", 0.65),
+    ):
+        parser.add_argument(f"--{f_name}", type=float, default=f_def)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                        default=True)
+    parser.add_argument("--remat_policy", type=str, default="dots")
+    parser.add_argument("--train_tfrecords", nargs="*", default=[])
+    parser.add_argument("--train_dir", type=str, default=None)
+    parser.add_argument("--config", type=str, default=None,
+                        help="config.json with Wav2Vec2PretrainingConfig fields")
+    parser.add_argument("--ckpt_dir", type=str, default="pretrain_checkpoints")
+    parser.add_argument("--log_dir", type=str, default="logs")
+    parser.add_argument("--wandb_project", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None)
+    return PretrainingArgs(**vars(parser.parse_args()))
+
+
+def cli_main() -> None:
+    main(parse_args())
+
+
+if __name__ == "__main__":
+    cli_main()

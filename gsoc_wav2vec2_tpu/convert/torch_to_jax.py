@@ -145,6 +145,34 @@ def params_from_hf_model(hf_model, config, with_lm_head: bool = True) -> dict:
     return params_from_torch_state_dict(sd, config, with_lm_head=with_lm_head)
 
 
+def pretraining_params_from_torch_state_dict(
+    state_dict: Dict[str, np.ndarray], config
+) -> dict:
+    """`transformers.Wav2Vec2ForPreTraining` checkpoint → JAX pretraining tree.
+
+    Backbone reuses `params_from_torch_state_dict`; the quantizer keeps the
+    HF layout (codevectors (1, G·V, d/G), weight_proj (in, out) after the
+    usual 2-D transpose).  This is how facebook/wav2vec2-base-style
+    checkpoints enter `models/pretraining.py`.
+    """
+    sd = _normalize_torch_keys(state_dict)
+    return {
+        "wav2vec2": params_from_torch_state_dict(sd, config, with_lm_head=False),
+        "quantizer": {
+            "codevectors": jnp.asarray(sd["quantizer.codevectors"]),
+            "weight_proj": _dense(sd, "quantizer.weight_proj"),
+        },
+        "project_hid": _dense(sd, "project_hid"),
+        "project_q": _dense(sd, "project_q"),
+    }
+
+
+def pretraining_params_from_hf_model(hf_model, config) -> dict:
+    """Convert a live `transformers.Wav2Vec2ForPreTraining` model."""
+    sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+    return pretraining_params_from_torch_state_dict(sd, config)
+
+
 def load_torch_file_params(path: str, template_params, config, with_lm_head=True):
     """Load a `pytorch_model.bin` / `model.safetensors` file."""
     if path.endswith(".safetensors"):

@@ -115,6 +115,40 @@ class Wav2Vec2Config:
 
 
 @dataclass
+class Wav2Vec2PretrainingConfig(Wav2Vec2Config):
+    """Self-supervised pretraining hyper-parameters (wav2vec2 paper §3.2).
+
+    BEYOND the reference: thevasudevgupta/gsoc-wav2vec2 only fine-tunes from
+    already-pretrained checkpoints; these fields cover the pretraining
+    objective itself (Gumbel-quantized targets + contrastive/diversity loss).
+    Field names and defaults mirror `transformers.Wav2Vec2Config` so HF
+    pretraining checkpoints (e.g. facebook/wav2vec2-base) convert 1:1.
+    """
+
+    num_codevector_groups: int = 2
+    num_codevectors_per_group: int = 320
+    codevector_dim: int = 256
+    proj_codevector_dim: int = 256
+    contrastive_logits_temperature: float = 0.1
+    num_negatives: int = 100
+    diversity_loss_weight: float = 0.1
+    feat_quantizer_dropout: float = 0.0
+    # pretraining masks much more aggressively than fine-tuning SpecAugment
+    mask_time_prob: float = 0.65
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.codevector_dim % self.num_codevector_groups != 0:
+            raise ValueError(
+                "`codevector_dim` must be divisible by `num_codevector_groups`"
+            )
+
+    @property
+    def num_codevectors(self) -> int:
+        return self.num_codevector_groups * self.num_codevectors_per_group
+
+
+@dataclass
 class RobustWav2Vec2Config(Wav2Vec2Config):
     """wav2vec2 "robust"/"large" family (also covers XLSR-53).
 

@@ -1,0 +1,369 @@
+"""wav2vec2 self-supervised pretraining: Gumbel quantizer + contrastive loss.
+
+BEYOND the reference: thevasudevgupta/gsoc-wav2vec2 fine-tunes from
+already-pretrained checkpoints only (its converter ingests
+facebook/wav2vec2-base, `/root/reference/src/convert_torch_to_tf.py:47-125`,
+and its recipe starts from them, `readme.md`).  This module adds the
+objective those checkpoints were trained with (Baevski et al., 2020,
+arXiv:2006.11477 §3.2) so the framework covers the full model lifecycle
+on TPU.
+
+Semantics deliberately mirror `transformers.Wav2Vec2ForPreTraining`
+(the de-facto torch reference implementation, which produced the very
+checkpoints the fine-tuning recipe consumes) and are oracle-tested against
+it in `tests/test_pretraining.py`:
+
+  * quantizer input = LayerNorm-ed conv features (the feature projection's
+    norm output, NOT the projected hidden states);
+  * masked positions get the trainable `masked_spec_embed` before the
+    encoder; the SAME mask selects the contrastive targets;
+  * Gumbel-softmax with straight-through hard one-hots, per-group codebooks;
+  * perplexity from the *noise-free* softmax marginals over masked frames;
+  * contrastive logits = cosine similarity / temperature against the true
+    quantized target plus K sampled distractors, with distractors identical
+    to the target masked to -inf; cross-entropy summed over masked frames;
+  * diversity loss = (GV - perplexity)/GV scaled by the masked-frame count.
+
+TPU-native differences: everything (masking, Gumbel noise, negative
+sampling, loss) runs on device under one `jit` from explicit `jax.random`
+keys — static shapes throughout (HF samples negatives with host numpy
+loops).  The Gumbel temperature is a traced scalar so its decay schedule
+never recompiles the step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.basic import dense, dropout, layer_norm
+from ..training.state import TrainState
+from .config import Wav2Vec2PretrainingConfig
+from .modeling import (
+    _init_dense,
+    _rng_stream,
+    encoder_forward,
+    feature_encoder_forward,
+    init_wav2vec2_params,
+)
+
+
+def init_wav2vec2_for_pretraining_params(
+    rng, config: Wav2Vec2PretrainingConfig
+) -> dict:
+    """Backbone + quantizer + the two projection heads.
+
+    Init distributions follow HF `Wav2Vec2PreTrainedModel._init_weights`:
+    codevectors ~ U[0, 1), `weight_proj` ~ N(0, 1) with zero bias (special
+    cased there), dense heads glorot-uniform.
+    """
+    k_model, k_cv, k_wp, k_hid, k_q = jax.random.split(rng, 5)
+    g, v = config.num_codevector_groups, config.num_codevectors_per_group
+    d_cv = config.codevector_dim
+    conv_dim = config.filter_sizes[-1]
+    return {
+        "wav2vec2": init_wav2vec2_params(k_model, config),
+        "quantizer": {
+            "codevectors": jax.random.uniform(
+                k_cv, (1, g * v, d_cv // g), jnp.float32
+            ),
+            "weight_proj": {
+                "kernel": jax.random.normal(k_wp, (conv_dim, g * v), jnp.float32),
+                "bias": jnp.zeros((g * v,), jnp.float32),
+            },
+        },
+        "project_hid": _init_dense(k_hid, config.hidden_size, config.proj_codevector_dim),
+        "project_q": _init_dense(k_q, d_cv, config.proj_codevector_dim),
+    }
+
+
+def _perplexity(probs: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """`Wav2Vec2GumbelVectorQuantizer._compute_perplexity`.
+
+    probs: (N, G, V) distributions per frame and group; mask: (N,) frame
+    validity.  Returns the summed per-group exp-entropy of the masked
+    marginals — the codebook-usage measure the diversity loss maximises.
+    """
+    if mask is not None:
+        m = mask.reshape(-1, 1, 1).astype(probs.dtype)
+        marginal = jnp.sum(probs * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+    else:
+        marginal = jnp.mean(probs, axis=0)
+    return jnp.sum(jnp.exp(-jnp.sum(marginal * jnp.log(marginal + 1e-7), axis=-1)))
+
+
+def gumbel_vector_quantizer(
+    params: dict,
+    config: Wav2Vec2PretrainingConfig,
+    extract_features: jax.Array,
+    mask_time_indices: Optional[jax.Array],
+    *,
+    temperature=2.0,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+):
+    """Per-group Gumbel-softmax codebook lookup.
+
+    `transformers.Wav2Vec2GumbelVectorQuantizer.forward` semantics: hard
+    straight-through one-hots at `temperature` when training, plain argmax
+    one-hots in eval; perplexity always from the noise-free softmax
+    (training) / the one-hots (eval) marginalised over masked frames.
+
+    Returns ((B, L, codevector_dim) codevectors, scalar perplexity).
+    """
+    b, l, _ = extract_features.shape
+    g, v = config.num_codevector_groups, config.num_codevectors_per_group
+    logits = dense(extract_features, params["weight_proj"])
+    logits = logits.reshape(b * l, g, v).astype(jnp.float32)
+
+    if training:
+        if rng is None:
+            raise ValueError("training quantization needs a Gumbel rng")
+        noise = jax.random.gumbel(rng, logits.shape, jnp.float32)
+        y_soft = jax.nn.softmax((logits + noise) / temperature, axis=-1)
+        hard = jax.nn.one_hot(jnp.argmax(y_soft, axis=-1), v, dtype=jnp.float32)
+        # straight-through: forward = hard one-hot, gradient = soft
+        probs = hard + y_soft - jax.lax.stop_gradient(y_soft)
+        perplexity = _perplexity(
+            jax.nn.softmax(logits, axis=-1),
+            None if mask_time_indices is None else mask_time_indices.reshape(-1),
+        )
+    else:
+        probs = jax.nn.one_hot(jnp.argmax(logits, axis=-1), v, dtype=jnp.float32)
+        perplexity = _perplexity(
+            probs,
+            None if mask_time_indices is None else mask_time_indices.reshape(-1),
+        )
+
+    codebook = params["codevectors"].reshape(g, v, -1).astype(jnp.float32)
+    # (BL, G, V) x (G, V, d/G) -> (BL, G, d/G): each group picks its
+    # codeword; groups concatenate along the feature axis
+    quantized = jnp.einsum("ngv,gvd->ngd", probs, codebook)
+    return quantized.reshape(b, l, -1), perplexity
+
+
+def wav2vec2_for_pretraining_forward(
+    params: dict,
+    config: Wav2Vec2PretrainingConfig,
+    batch: jax.Array,
+    mask_time_indices: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    gumbel_temperature=2.0,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    attention_impl: str = "auto",
+    mesh=None,
+    use_pallas: bool = True,
+):
+    """Masked-prediction forward: `transformers.Wav2Vec2ForPreTraining.forward`.
+
+    Returns (projected_states (B, L, P), projected_quantized (B, L, P),
+    perplexity).  `mask_time_indices` is an input (not sampled inside) so the
+    loss, the negative sampler and the forward all see the same mask.
+    """
+    next_key = _rng_stream(rng)
+
+    x = feature_encoder_forward(
+        params["wav2vec2"]["feature_extractor"], config, batch, compute_dtype,
+        training=training, mesh=mesh, use_pallas=use_pallas,
+    )
+
+    fp = params["wav2vec2"]["feature_projection"]
+    # the NORMED conv features are both the projection input and the
+    # quantizer input (HF FeatureProjection returns them separately)
+    extract_features = layer_norm(x, fp["layer_norm"], config.layer_norm_eps)
+    h = dense(extract_features, fp["projection"])
+    h = dropout(h, config.dropout, next_key() if training else None, not training)
+
+    fill = params["wav2vec2"]["masked_spec_embed"].astype(h.dtype)[None, None, :]
+    h = jnp.where(mask_time_indices[:, :, None], fill, h)
+
+    frame_mask = None
+    if attention_mask is not None:
+        input_length = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+        frame_length = config.conv_output_length(input_length)
+        frame_mask = jnp.arange(h.shape[1])[None, :] < frame_length[:, None]
+
+    hidden = encoder_forward(
+        params["wav2vec2"]["encoder"], config, h, frame_mask,
+        training=training, rng=next_key() if training else None,
+        remat=remat, attention_impl=attention_impl, mesh=mesh,
+        use_pallas=use_pallas,
+    )
+    projected_states = dense(hidden, params["project_hid"]).astype(jnp.float32)
+
+    feats = dropout(
+        extract_features, config.feat_quantizer_dropout,
+        next_key() if training else None, not training,
+    )
+    quantized, perplexity = gumbel_vector_quantizer(
+        params["quantizer"], config, feats, mask_time_indices,
+        temperature=gumbel_temperature, training=training, rng=next_key(),
+    )
+    projected_quantized = dense(
+        quantized, params["project_q"]
+    ).astype(jnp.float32)
+    return projected_states, projected_quantized, perplexity
+
+
+def sample_negative_indices(
+    rng: jax.Array,
+    mask_time_indices: jax.Array,
+    num_negatives: int,
+) -> jax.Array:
+    """K distractor indices per frame, drawn from the OTHER masked frames of
+    the same utterance — `_sample_negative_indices` (HF host-numpy helper),
+    re-designed as a jittable static-shape device op.
+
+    For masked frame i with rank r among its row's m masked frames: draw
+    u ~ U{0, m-2}, shift u >= r up by one (uniform over the m-1 others),
+    and map through the sorted masked-position table.  Rows for unmasked
+    frames get in-row index 0 (HF leaves zeros there); the loss never reads
+    them (cross-entropy target is masked).
+
+    Returns (B, L, K) int32 indices into the flattened (B*L) frame axis.
+    """
+    b, l = mask_time_indices.shape
+    mask = mask_time_indices.astype(bool)
+
+    def per_row(key, mask_row, row_idx):
+        m = jnp.sum(mask_row.astype(jnp.int32))
+        # masked positions first, original order preserved (stable sort)
+        order = jnp.argsort(jnp.logical_not(mask_row), stable=True)
+        rank = jnp.cumsum(mask_row.astype(jnp.int32)) - 1  # (L,), valid on mask
+        u = jax.random.randint(
+            key, (l, num_negatives), 0, jnp.maximum(m - 1, 1)
+        )
+        shifted = u + (u >= rank[:, None])
+        shifted = jnp.clip(shifted, 0, jnp.maximum(m - 1, 0))
+        neg_pos = order[shifted]  # (L, K) positions within this row
+        neg_pos = jnp.where(mask_row[:, None], neg_pos, 0)
+        return neg_pos + row_idx * l
+
+    keys = jax.random.split(rng, b)
+    return jax.vmap(per_row)(keys, mask, jnp.arange(b)).astype(jnp.int32)
+
+
+def pretraining_loss(
+    projected_states: jax.Array,
+    projected_quantized: jax.Array,
+    perplexity: jax.Array,
+    mask_time_indices: jax.Array,
+    sampled_negative_indices: jax.Array,
+    config: Wav2Vec2PretrainingConfig,
+) -> dict:
+    """Contrastive + diversity objective (paper eq. 3-4; HF steps 3-8).
+
+    All similarity math in float32.  Contrastive loss is the SUM over masked
+    frames (HF `reduction="sum"`); callers divide by their own factor.
+    """
+    b, l, d = projected_quantized.shape
+    k = sampled_negative_indices.shape[-1]
+    flat_q = projected_quantized.reshape(b * l, d)
+    negatives = flat_q[sampled_negative_indices.reshape(-1)]
+    negatives = negatives.reshape(b, l, k, d).transpose(2, 0, 1, 3)  # (K,B,L,D)
+
+    targets = jnp.concatenate(
+        [projected_quantized[None], negatives], axis=0
+    )  # (K+1, B, L, D)
+    pred = projected_states[None].astype(jnp.float32)
+    tgt = targets.astype(jnp.float32)
+    # torch.cosine_similarity clamps each norm at eps=1e-8
+    num = jnp.sum(pred * tgt, axis=-1)
+    denom = jnp.maximum(
+        jnp.linalg.norm(pred, axis=-1), 1e-8
+    ) * jnp.maximum(jnp.linalg.norm(tgt, axis=-1), 1e-8)
+    logits = (num / denom) / config.contrastive_logits_temperature  # (K+1,B,L)
+
+    # distractors that ARE the target cannot count as negatives
+    neg_is_pos = jnp.all(
+        projected_quantized[None] == negatives, axis=-1
+    )  # (K, B, L)
+    logits = logits.at[1:].set(
+        jnp.where(neg_is_pos, -jnp.inf, logits[1:])
+    )
+
+    mask = mask_time_indices.astype(jnp.float32)  # (B, L)
+    log_z = jax.nn.logsumexp(logits, axis=0)  # (B, L)
+    contrastive = jnp.sum((log_z - logits[0]) * mask)
+
+    gv = float(config.num_codevectors)
+    diversity = ((gv - perplexity) / gv) * jnp.sum(mask)
+    loss = contrastive + config.diversity_loss_weight * diversity
+    return {
+        "loss": loss,
+        "contrastive_loss": contrastive,
+        "diversity_loss": diversity,
+        "codevector_perplexity": perplexity,
+    }
+
+
+def ctc_params_from_pretraining(pretrain_params: dict, config, rng) -> dict:
+    """Pretrained backbone → fine-tune-ready `Wav2Vec2ForCTC` tree.
+
+    The quantizer and projection heads are pretraining-only (discarded,
+    exactly as the reference's converter drops them when ingesting
+    facebook/wav2vec2-base, `convert_torch_to_tf.py:72-79` filters to the
+    backbone); the LM head starts fresh.
+    """
+    return {
+        "wav2vec2": jax.tree.map(lambda x: x, pretrain_params["wav2vec2"]),
+        "lm_head": _init_dense(rng, config.hidden_size, config.vocab_size),
+    }
+
+
+def make_pretrain_step(
+    config: Wav2Vec2PretrainingConfig,
+    tx: optax.GradientTransformation,
+    *,
+    division_factor: float,
+    with_attention_mask: bool = False,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+    mesh=None,
+    attention_impl: str = "auto",
+):
+    """Jitted `(state, batch, rng, gumbel_temperature) -> (state, metrics)`.
+
+    `batch` needs ``speech`` (B, L) and ``mask_time_indices`` (B, L_frames)
+    bool plus optional ``attention_mask``; negatives are sampled on device
+    inside the step.  `gumbel_temperature` is traced — the decay schedule
+    (HF pretraining script: max 2.0 → min 0.5) costs zero recompiles.
+    Same single-XLA-program / donated-buffer design as the CTC train step
+    (`trainer.py::make_train_step`).
+    """
+
+    def loss_fn(params, batch, rng, temperature):
+        rng_fwd, rng_neg = jax.random.split(rng)
+        mask = batch.get("attention_mask") if with_attention_mask else None
+        mti = batch["mask_time_indices"]
+        states, quantized, perplexity = wav2vec2_for_pretraining_forward(
+            params, config, batch["speech"], mti, mask,
+            training=True, rng=rng_fwd, gumbel_temperature=temperature,
+            compute_dtype=compute_dtype, remat=remat, mesh=mesh,
+            attention_impl=attention_impl,
+        )
+        negs = sample_negative_indices(rng_neg, mti, config.num_negatives)
+        parts = pretraining_loss(states, quantized, perplexity, mti, negs, config)
+        return parts["loss"] / division_factor, parts
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array, temperature):
+        step_rng = jax.random.fold_in(rng, state.step)
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng, temperature
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        # parts carries the UNdivided sums; "loss" is the optimized
+        # (division_factor-normalised) objective
+        metrics = {**parts, "loss": loss}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -1,0 +1,359 @@
+"""Self-supervised pretraining (`models/pretraining.py`) — oracle parity
+against `transformers.Wav2Vec2ForPreTraining` (the torch implementation
+that produced the checkpoints the reference fine-tunes from), plus
+device-side negative-sampler properties and an end-to-end learn test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.utils import requires_transformers, tiny_pretraining_config
+
+from gsoc_wav2vec2_tpu.models.pretraining import (
+    init_wav2vec2_for_pretraining_params,
+    make_pretrain_step,
+    pretraining_loss,
+    sample_negative_indices,
+    wav2vec2_for_pretraining_forward,
+)
+
+
+def _speech(batch, seqlen, seed=0):
+    return np.asarray(
+        np.random.default_rng(seed).standard_normal((batch, seqlen)), np.float32
+    )
+
+
+def _hf_mask_and_negatives(config, b, frames, seed=0):
+    from transformers.models.wav2vec2.modeling_wav2vec2 import (
+        _compute_mask_indices,
+        _sample_negative_indices,
+    )
+
+    np.random.seed(seed)
+    mask = _compute_mask_indices((b, frames), mask_prob=0.5, mask_length=2)
+    negs = _sample_negative_indices(
+        (b, frames), config.num_negatives, mask_time_indices=mask
+    )
+    return mask.astype(bool), negs.astype(np.int32)
+
+
+@requires_transformers
+def test_pretraining_forward_and_loss_match_hf_oracle():
+    """Eval-mode (deterministic argmax quantizer, no dropout) forward +
+    full loss vs the live HF torch model with identical weights, mask and
+    negatives."""
+    import torch
+    import transformers
+
+    from tests.utils import matching_hf_config
+
+    from gsoc_wav2vec2_tpu.convert.torch_to_jax import (
+        pretraining_params_from_hf_model,
+    )
+
+    config = tiny_pretraining_config()
+    hf_config = matching_hf_config(config)
+    # pretraining REQUIRES the mask fill (HF gates `_mask_hidden_states`
+    # behind apply_spec_augment, which the fine-tune parity helper disables)
+    hf_config.apply_spec_augment = True  # and mask_time_prob > 0 so the
+    # masked_spec_embed parameter exists; explicit indices take priority
+    hf = transformers.Wav2Vec2ForPreTraining(hf_config).eval()
+    params = pretraining_params_from_hf_model(hf, config)
+
+    b, l = 2, 3200
+    speech = _speech(b, l, seed=1)
+    frames = config.conv_output_length(l)
+    mask, negs = _hf_mask_and_negatives(config, b, frames, seed=3)
+
+    with torch.no_grad():
+        out = hf(
+            torch.tensor(speech),
+            mask_time_indices=torch.tensor(mask),
+            sampled_negative_indices=torch.tensor(negs.astype(np.int64)),
+        )
+
+    states, quantized, perplexity = wav2vec2_for_pretraining_forward(
+        params, config, jnp.asarray(speech), jnp.asarray(mask),
+        training=False, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(states), out.projected_states.numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(quantized), out.projected_quantized_states.numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(perplexity), float(out.codevector_perplexity), rtol=1e-5
+    )
+
+    parts = pretraining_loss(
+        states, quantized, perplexity, jnp.asarray(mask), jnp.asarray(negs),
+        config,
+    )
+    np.testing.assert_allclose(
+        float(parts["contrastive_loss"]), float(out.contrastive_loss),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        float(parts["diversity_loss"]), float(out.diversity_loss), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(parts["loss"]), float(out.loss), rtol=2e-4
+    )
+
+
+def test_sample_negative_indices_properties():
+    """Device sampler: every negative of a masked frame points at ANOTHER
+    masked frame of the same utterance; coverage is near-uniform."""
+    rng = np.random.default_rng(0)
+    b, l, k = 3, 64, 20
+    mask = rng.random((b, l)) < 0.4
+    mask[:, :2] = True  # ensure >=2 masked per row
+    negs = np.asarray(
+        sample_negative_indices(jax.random.PRNGKey(0), jnp.asarray(mask), k)
+    )
+    assert negs.shape == (b, l, k)
+    for bi in range(b):
+        masked_pos = set(np.flatnonzero(mask[bi]))
+        for li in np.flatnonzero(mask[bi]):
+            row = negs[bi, li] - bi * l
+            assert (row >= 0).all() and (row < l).all()
+            assert li not in row, "sampled the positive itself"
+            assert set(row.tolist()) <= masked_pos, "negative not masked"
+    # coverage: with 20 draws x many rows, most other masked positions appear
+    bi = 0
+    seen = set()
+    for li in np.flatnonzero(mask[bi]):
+        seen |= set((negs[bi, li] - bi * l).tolist())
+    assert len(seen) >= 0.8 * mask[bi].sum()
+
+
+def test_gumbel_straight_through_gradients():
+    """Training-mode quantizer: the forward output is built from HARD
+    one-hots, yet gradients reach both weight_proj and the codevectors."""
+    from gsoc_wav2vec2_tpu.models.pretraining import gumbel_vector_quantizer
+
+    config = tiny_pretraining_config()
+    rng = jax.random.PRNGKey(0)
+    params = init_wav2vec2_for_pretraining_params(rng, config)["quantizer"]
+    feats = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 9, 32)), jnp.float32
+    )
+
+    def f(p):
+        q, _ = gumbel_vector_quantizer(
+            p, config, feats, None, temperature=2.0, training=True,
+            rng=jax.random.PRNGKey(7),
+        )
+        return jnp.sum(q * q)
+
+    grads = jax.grad(f)(params)
+    assert float(jnp.abs(grads["weight_proj"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(grads["codevectors"]).sum()) > 0
+
+    # hard forward: each group output must equal SOME codevector exactly
+    q, _ = gumbel_vector_quantizer(
+        params, config, feats, None, temperature=2.0, training=True,
+        rng=jax.random.PRNGKey(7),
+    )
+    g = config.num_codevector_groups
+    d_g = config.codevector_dim // g
+    qg = np.asarray(q).reshape(-1, g, d_g)
+    cb = np.asarray(params["codevectors"]).reshape(g, -1, d_g)
+    for gi in range(g):
+        dists = np.abs(qg[:, gi, None, :] - cb[None, gi]).max(-1).min(-1)
+        assert dists.max() < 1e-5
+
+
+def test_pretrain_cli_end_to_end(tmp_path):
+    """`cli.pretrain` subprocess on a synthetic corpus (8 virtual CPU
+    devices): finite losses logged, Orbax checkpoint written, and the
+    exported backbone loads straight into `Wav2Vec2ForCTC.from_pretrained`
+    (the fine-tuning entry: the full lifecycle link)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from flac_encoder import encode_flac
+
+    rng = np.random.default_rng(3)
+    chap = tmp_path / "corpus" / "1" / "1"
+    chap.mkdir(parents=True)
+    lines = []
+    for i in range(8):  # global batch = 8 virtual devices x 1
+        sig = np.clip(
+            2000 * np.sin(np.arange(6000) / 5.0)
+            + rng.integers(-60, 60, 6000),
+            -32768, 32767,
+        ).astype(np.int64)
+        (chap / f"1-1-{i:04d}.flac").write_bytes(
+            encode_flac(sig, subframe_kind="fixed", order=2, rice_param=7)
+        )
+        lines.append(f"1-1-{i:04d} UNUSED TEXT")
+    (chap / "1-1.trans.txt").write_text("\n".join(lines))
+
+    config = tiny_pretraining_config(num_layers=1)
+    cfg_dir = tmp_path / "cfg"
+    config.save_pretrained(str(cfg_dir))
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    log_dir = str(tmp_path / "logs")
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.pretrain",
+            "--train_dir", str(tmp_path / "corpus"),
+            "--config", str(cfg_dir / "config.json"),
+            "--epochs", "2", "--batch_size_per_device", "1",
+            "--audio_maxlen", "6000", "--mask_time_length", "2",
+            "--warmup_steps", "4", "--lr", "1e-4",
+            "--logging_steps", "1", "--compute_dtype", "float32",
+            "--ckpt_dir", ckpt_dir, "--log_dir", log_dir,
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+
+    metrics = [
+        json.loads(line)
+        for line in open(os.path.join(log_dir, "metrics.jsonl"))
+    ]
+    losses = [m["pretrain/loss"] for m in metrics if "pretrain/loss" in m]
+    assert losses and all(np.isfinite(losses))
+    temps = [
+        m["pretrain/gumbel_temperature"] for m in metrics
+        if "pretrain/gumbel_temperature" in m
+    ]
+    assert temps[0] <= 2.0 and temps[-1] <= temps[0]
+    assert os.path.isdir(os.path.join(ckpt_dir, "pretrain"))
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2ForCTC
+
+    ctc = Wav2Vec2ForCTC.from_pretrained(os.path.join(ckpt_dir, "for_ctc"))
+    out = ctc(np.zeros((1, 6000), np.float32))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pretrain_step_on_mesh_matches_single_device():
+    """The sharded pretrain step (4x2 data×model mesh over 8 virtual CPU
+    devices) computes the same objective as the unsharded step.  The
+    continuous pieces (perplexity, diversity) must agree tightly; the
+    contrastive term is allowed ~2%: the Gumbel-argmax code picks are
+    DISCRETE, and resharding reorders float ops enough to flip near-tie
+    argmaxes, which swaps a few positive targets (measured: forward-only
+    is bit-stable at 2e-6; only the joint fwd+bwd program flips picks)."""
+    import optax
+
+    from gsoc_wav2vec2_tpu.parallel import make_mesh, replicated, shard_params
+    from gsoc_wav2vec2_tpu.ops.specaugment import compute_mask_indices
+    from gsoc_wav2vec2_tpu.training.state import TrainState
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    config = tiny_pretraining_config(num_layers=1)
+    params = init_wav2vec2_for_pretraining_params(jax.random.PRNGKey(0), config)
+    tx = optax.adam(1e-4)
+    b, l = 8, 3200
+    frames = int(config.conv_output_length(l))
+    batch = {
+        "speech": jnp.asarray(_speech(b, l, seed=4)),
+        "mask_time_indices": compute_mask_indices(
+            jax.random.PRNGKey(11), b, frames, 0.5, 2
+        ),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    def run(mesh):
+        # fresh copy per run: the step donates its state buffers
+        p = jax.tree.map(jnp.array, params)
+        p = shard_params(p, mesh) if mesh else p
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=p,
+            opt_state=jax.jit(tx.init)(p),
+        )
+        if mesh:
+            state = TrainState(
+                step=jax.device_put(state.step, replicated(mesh)),
+                params=state.params, opt_state=state.opt_state,
+            )
+        step = make_pretrain_step(
+            config, tx, division_factor=b, compute_dtype=jnp.float32,
+            remat=False, mesh=mesh,
+        )
+        db = batch
+        if mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            db = {
+                "speech": jax.device_put(
+                    batch["speech"], NamedSharding(mesh, P("data"))
+                ),
+                "mask_time_indices": jax.device_put(
+                    batch["mask_time_indices"], NamedSharding(mesh, P("data"))
+                ),
+            }
+        _, metrics = step(state, db, rng, jnp.float32(2.0))
+        return {k: float(v) for k, v in metrics.items()}
+
+    single = run(None)
+    sharded = run(make_mesh(model=2))
+    np.testing.assert_allclose(
+        sharded["codevector_perplexity"], single["codevector_perplexity"],
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        sharded["diversity_loss"], single["diversity_loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(sharded["loss"], single["loss"], rtol=2e-2)
+
+
+def test_pretrain_step_learns_and_temperature_is_traced():
+    """A few optimizer steps on fixed data reduce the contrastive loss;
+    changing the Gumbel temperature does NOT recompile (traced scalar)."""
+    import optax
+
+    from gsoc_wav2vec2_tpu.models.pretraining import (
+        init_wav2vec2_for_pretraining_params,
+    )
+    from gsoc_wav2vec2_tpu.ops.specaugment import compute_mask_indices
+    from gsoc_wav2vec2_tpu.training.state import TrainState
+
+    config = tiny_pretraining_config(num_layers=1)
+    params = init_wav2vec2_for_pretraining_params(jax.random.PRNGKey(0), config)
+    tx = optax.adam(3e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    b, l = 2, 3200
+    frames = int(config.conv_output_length(l))
+    mti = compute_mask_indices(
+        jax.random.PRNGKey(5), b, frames, 0.5, 2, min_masks=2
+    )
+    batch = {
+        "speech": jnp.asarray(_speech(b, l, seed=2)),
+        "mask_time_indices": mti,
+    }
+    step = make_pretrain_step(
+        config, tx, division_factor=b, compute_dtype=jnp.float32, remat=False
+    )
+    rng = jax.random.PRNGKey(9)
+
+    temps = np.linspace(2.0, 1.0, 30, dtype=np.float32)
+    first = None
+    for i, t in enumerate(temps):
+        state, metrics = step(state, batch, rng, jnp.float32(t))
+        if i == 0:
+            first = float(metrics["contrastive_loss"])
+    last = float(metrics["contrastive_loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.9, (first, last)
+    assert step._cache_size() == 1, "temperature change recompiled the step"

@@ -48,9 +48,50 @@ def tiny_config(robust: bool = False, **kwargs):
     return cls(**base)
 
 
+def tiny_pretraining_config(**kwargs):
+    """Small pretraining config (quantizer dims scaled down to match)."""
+    from gsoc_wav2vec2_tpu import Wav2Vec2PretrainingConfig
+
+    base = dict(
+        vocab_size=32,
+        hidden_size=64,
+        num_heads=4,
+        num_layers=2,
+        intermediate_size=128,
+        filter_sizes=[32] * 7,
+        kernal_sizes=[10, 3, 3, 3, 3, 2, 2],
+        strides=[5, 2, 2, 2, 2, 2, 2],
+        num_conv_pos_embeddings=128,
+        num_conv_pos_embedding_groups=16,
+        dropout=0.0,
+        apply_spec_augment=False,
+        num_codevector_groups=2,
+        num_codevectors_per_group=16,
+        codevector_dim=48,
+        proj_codevector_dim=40,
+        num_negatives=10,
+    )
+    base.update(kwargs)
+    return Wav2Vec2PretrainingConfig(**base)
+
+
 def matching_hf_config(cfg):
     """Build the equivalent `transformers.Wav2Vec2Config`."""
     import transformers
+
+    extra = {}
+    for ours, theirs in [
+        ("num_codevector_groups", "num_codevector_groups"),
+        ("num_codevectors_per_group", "num_codevectors_per_group"),
+        ("codevector_dim", "codevector_dim"),
+        ("proj_codevector_dim", "proj_codevector_dim"),
+        ("contrastive_logits_temperature", "contrastive_logits_temperature"),
+        ("num_negatives", "num_negatives"),
+        ("diversity_loss_weight", "diversity_loss_weight"),
+        ("feat_quantizer_dropout", "feat_quantizer_dropout"),
+    ]:
+        if hasattr(cfg, ours):
+            extra[theirs] = getattr(cfg, ours)
 
     return transformers.Wav2Vec2Config(
         vocab_size=cfg.vocab_size,
@@ -76,4 +117,5 @@ def matching_hf_config(cfg):
         hidden_act="gelu",
         layer_norm_eps=cfg.layer_norm_eps,
         pad_token_id=cfg.pad_id,
+        **extra,
     )
