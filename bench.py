@@ -251,6 +251,56 @@ def _bench_robust():
     return rtf, train_ms
 
 
+PRETRAIN_BATCH = 8
+
+
+def _bench_pretrain_step():
+    """Self-supervised pretraining step at the base geometry (B=8 x 246k,
+    bf16, remat-dots): the objective the reference's checkpoints were
+    trained with, now a measured TPU capability (`models/pretraining.py`)."""
+    import optax
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2PretrainingConfig
+    from gsoc_wav2vec2_tpu.models.pretraining import (
+        init_wav2vec2_for_pretraining_params,
+        make_pretrain_step,
+    )
+    from gsoc_wav2vec2_tpu.ops.specaugment import compute_mask_indices
+    from gsoc_wav2vec2_tpu.training import TrainState
+
+    config = Wav2Vec2PretrainingConfig()
+    params = init_wav2vec2_for_pretraining_params(jax.random.PRNGKey(0), config)
+    frames = int(config.conv_output_length(AUDIO_LEN))
+    batch = {
+        "speech": jax.random.normal(
+            jax.random.PRNGKey(8), (PRETRAIN_BATCH, AUDIO_LEN), jnp.float32
+        ),
+        "mask_time_indices": compute_mask_indices(
+            jax.random.PRNGKey(9), PRETRAIN_BATCH, frames,
+            config.mask_time_prob, config.mask_time_length,
+        ),
+    }
+    tx = optax.adamw(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    step = make_pretrain_step(
+        config, tx, division_factor=PRETRAIN_BATCH,
+        compute_dtype=jnp.bfloat16, remat="dots",
+    )
+    rng = jax.random.PRNGKey(10)
+    temp = jnp.float32(2.0)
+    state, m = step(state, batch, rng, temp)
+    float(m["loss"])
+    start = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, m = step(state, batch, rng, temp)
+    float(m["loss"])
+    return (time.perf_counter() - start) / TRAIN_ITERS * 1000
+
+
 def main() -> None:
     from gsoc_wav2vec2_tpu import Wav2Vec2Config
     from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
@@ -286,6 +336,12 @@ def main() -> None:
         extra["robust_train_ms_per_step_b8_246k_remat"] = round(robust_train_ms, 1)
     except Exception as e:
         extra["robust_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extra["pretrain_ms_per_step_b8_246k_remat"] = round(
+            _bench_pretrain_step(), 1
+        )
+    except Exception as e:
+        extra["pretrain_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(

@@ -65,6 +65,36 @@ def test_inference_example(tmp_path):
     assert flac in result.stdout
 
 
+def test_pretrain_example(tmp_path):
+    """pretrain.sh → exported backbone → finetune.sh consumes it: the full
+    lifecycle as the shipped scripts drive it."""
+    corpus, _ = _write_corpus(tmp_path, n=2)
+    from gsoc_wav2vec2_tpu import Wav2Vec2PretrainingConfig
+
+    cfg_dir = tmp_path / "cfg"
+    Wav2Vec2PretrainingConfig(
+        **TINY, dropout=0.0, apply_spec_augment=False,
+        num_codevector_groups=2, num_codevectors_per_group=8,
+        codevector_dim=16, proj_codevector_dim=16, num_negatives=4,
+    ).save_pretrained(str(cfg_dir))
+    env = _env()
+    env.update(
+        DATA_DIR=corpus, EPOCHS="1", BATCH_SIZE="2", AUDIO_MAXLEN="2000",
+        WARMUP_STEPS="2", CKPT_DIR=str(tmp_path / "ckpts"),
+        LOG_DIR=str(tmp_path / "logs"),
+    )
+    result = subprocess.run(
+        ["bash", "examples/pretrain.sh", "--compute_dtype", "float32",
+         "--config", str(cfg_dir / "config.json"), "--mask_time_length", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    out_dir = os.path.join(str(tmp_path / "ckpts"), "for_ctc")
+    assert os.path.isfile(os.path.join(out_dir, "config.json"))
+    model = Wav2Vec2ForCTC.from_pretrained(out_dir)
+    assert np.isfinite(np.asarray(model(np.zeros((1, 2000), np.float32)))).all()
+
+
 def test_finetune_example(tmp_path):
     model_dir = _tiny_model_dir(tmp_path)
     corpus, _ = _write_corpus(tmp_path, n=2)
