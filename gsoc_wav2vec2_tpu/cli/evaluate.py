@@ -66,6 +66,20 @@ def main() -> None:
              "decode); sums alignment mass per transcription instead of "
              "taking the best frame path",
     )
+    parser.add_argument(
+        "--lm_path", type=str, default=None,
+        help="CharNGramLM JSON for shallow fusion (see --lm_fit_dir); "
+             "requires --beam_width > 0",
+    )
+    parser.add_argument(
+        "--lm_fit_dir", type=str, default=None,
+        help="fit a char n-gram LM on this corpus's *.trans.txt transcripts "
+             "(saved next to --lm_path if given, else used in-memory)",
+    )
+    parser.add_argument("--lm_order", type=int, default=4)
+    parser.add_argument("--lm_weight", type=float, default=0.5)
+    parser.add_argument("--token_bonus", type=float, default=0.0,
+                        help="per-token insertion bonus under LM fusion")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--pad_to", type=int, default=246000)
     parser.add_argument("--limit", type=int, default=0, help="cap sample count")
@@ -94,8 +108,22 @@ def main() -> None:
         multihost.initialize()
         mesh = make_mesh(model=1)  # every device on the data axis
         print(f"sharded eval over {jax.device_count()} devices")
+    lm = None
+    if args.lm_fit_dir:
+        from ..decoding import CharNGramLM
+
+        lm = CharNGramLM.fit_from_librispeech(args.lm_fit_dir, args.lm_order)
+        if args.lm_path:
+            lm.save(args.lm_path)
+    elif args.lm_path:
+        from ..decoding import CharNGramLM
+
+        lm = CharNGramLM.load(args.lm_path)
+    if lm is not None and args.beam_width <= 0:
+        parser.error("--lm_path/--lm_fit_dir require --beam_width > 0")
     evaluator = GreedyCTCEvaluator(
-        model.config, model.params, mesh=mesh, beam_width=args.beam_width
+        model.config, model.params, mesh=mesh, beam_width=args.beam_width,
+        lm=lm, lm_weight=args.lm_weight, token_bonus=args.token_bonus,
     )
     if args.tfrecords:
         from ..data.remote import expand_patterns
@@ -161,6 +189,9 @@ def main() -> None:
         report["round_to"] = args.round_to
     if args.beam_width:
         report["beam_width"] = args.beam_width
+    if lm is not None:
+        report["lm"] = {"order": lm.order, "weight": args.lm_weight,
+                        "token_bonus": args.token_bonus}
     print(json.dumps(report))
 
 

@@ -16,11 +16,124 @@ while the heavy part — log-softmax over frames — stays on device.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import json
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
 NEG_INF = -np.inf
+
+
+class CharNGramLM:
+    """Witten-Bell-interpolated character n-gram LM over tokenizer ids.
+
+    The wav2vec2 paper's own evaluation decodes with an external language
+    model fused into beam search (arXiv:2006.11477 §4); the reference
+    framework has no LM at all.  This is a dependency-free stand-in: train
+    it on the fine-tuning corpus transcripts (`fit`), persist as JSON, and
+    pass to `ctc_prefix_beam_search(lm=..., lm_weight=...)` for shallow
+    fusion.
+
+    Witten-Bell:  P(s|ctx) = (c(ctx·s) + T(ctx)·P(s|ctx[1:])) / (c(ctx) + T(ctx))
+    with T(ctx) = #distinct continuations of ctx; base case is uniform over
+    the vocab.  Parameter-free, properly normalised, never zero.
+    """
+
+    def __init__(self, order: int = 4, vocab_size: int = 32):
+        if order < 1:
+            raise ValueError("order must be >= 1")
+        self.order = order
+        self.vocab_size = vocab_size
+        # counts[k][ctx_tuple] = {next_id: count}; ctx length k in [0, order-1]
+        self.counts: List[dict] = [dict() for _ in range(order)]
+
+    def fit(self, id_sequences: Iterable[List[int]]) -> "CharNGramLM":
+        for seq in id_sequences:
+            seq = list(seq)
+            for i, s in enumerate(seq):
+                for k in range(self.order):
+                    if i < k:
+                        continue
+                    ctx = tuple(seq[i - k:i])
+                    bucket = self.counts[k].setdefault(ctx, {})
+                    bucket[s] = bucket.get(s, 0) + 1
+        return self
+
+    def _prob(self, ctx: Tuple[int, ...], s: int) -> float:
+        if not ctx:
+            bucket = self.counts[0].get((), {})
+            total = sum(bucket.values())
+            distinct = len(bucket)
+            base = 1.0 / self.vocab_size
+            if total == 0:
+                return base
+            return (bucket.get(s, 0) + distinct * base) / (total + distinct)
+        bucket = self.counts[len(ctx)].get(ctx, {})
+        lower = self._prob(ctx[1:], s)
+        total = sum(bucket.values())
+        distinct = len(bucket)
+        if total == 0:
+            return lower
+        return (bucket.get(s, 0) + distinct * lower) / (total + distinct)
+
+    def logp(self, context: Tuple[int, ...], s: int) -> float:
+        """log P(s | last `order-1` ids of `context`)."""
+        ctx = tuple(context[-(self.order - 1):]) if self.order > 1 else ()
+        return float(np.log(self._prob(ctx, s)))
+
+    def save(self, path: str) -> None:
+        payload = {
+            "order": self.order,
+            "vocab_size": self.vocab_size,
+            "counts": [
+                {",".join(map(str, ctx)): bucket for ctx, bucket in level.items()}
+                for level in self.counts
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f)
+
+    @classmethod
+    def fit_from_librispeech(
+        cls, data_dir: str, order: int = 4, vocab_size: int = 32
+    ) -> "CharNGramLM":
+        """Fit on every `*.trans.txt` transcript under a LibriSpeech-layout
+        corpus (the same files the loaders read, `data/loaders.py`)."""
+        import os
+
+        from .data.processor import Wav2Vec2Processor
+
+        tokenizer = Wav2Vec2Processor(is_tokenizer=True)
+        lm = cls(order, vocab_size)
+
+        def texts():
+            for root, _dirs, files in os.walk(data_dir):
+                for name in sorted(files):
+                    if not name.endswith(".trans.txt"):
+                        continue
+                    with open(os.path.join(root, name)) as f:
+                        for line in f:
+                            _utt, _, text = line.strip().partition(" ")
+                            if text:
+                                yield tokenizer(text)
+
+        return lm.fit(texts())
+
+    @classmethod
+    def load(cls, path: str) -> "CharNGramLM":
+        with open(path) as f:
+            payload = json.load(f)
+        lm = cls(payload["order"], payload["vocab_size"])
+        lm.counts = [
+            {
+                tuple(int(x) for x in ctx.split(",") if ctx): {
+                    int(s): c for s, c in bucket.items()
+                }
+                for ctx, bucket in level.items()
+            }
+            for level in payload["counts"]
+        ]
+        return lm
 
 
 def _logaddexp(a: float, b: float) -> float:
@@ -36,6 +149,9 @@ def ctc_prefix_beam_search(
     beam_width: int = 25,
     blank_id: int = 0,
     top_k_tokens: int = 0,
+    lm: Optional[CharNGramLM] = None,
+    lm_weight: float = 0.5,
+    token_bonus: float = 0.0,
 ) -> List[int]:
     """Most probable label sequence under the CTC alignment-sum criterion.
 
@@ -46,6 +162,10 @@ def ctc_prefix_beam_search(
         `losses.py:41`).
       top_k_tokens: per-frame vocabulary pruning (0 = no pruning); with
         vocab 32 the exact sweep is cheap, so pruning is off by default.
+      lm / lm_weight / token_bonus: shallow fusion — every prefix
+        EXTENSION adds `lm_weight * log P_lm(s | prefix) + token_bonus`
+        to the beam score (the bonus counteracts the LM's per-token
+        penalty, the classic insertion-bonus trick).
     Returns the winning prefix as a list of token ids (already collapsed —
     no repeats, no blanks).
     """
@@ -53,6 +173,17 @@ def ctc_prefix_beam_search(
     t_len, vocab = log_probs.shape
     # prefix -> (log P(prefix, ends in blank), log P(prefix, ends in token))
     beams: dict = {(): (0.0, NEG_INF)}
+    lm_cache: dict = {}
+
+    def lm_bonus(prefix, s) -> float:
+        if lm is None:
+            return 0.0
+        key = (prefix[-(lm.order - 1):] if lm.order > 1 else (), s)
+        got = lm_cache.get(key)
+        if got is None:
+            got = lm_weight * lm.logp(key[0], s) + token_bonus
+            lm_cache[key] = got
+        return got
 
     for t in range(t_len):
         frame = log_probs[t]
@@ -78,9 +209,15 @@ def ctc_prefix_beam_search(
                     # collapses into the same prefix; with one (pb) it
                     # starts a new occurrence
                     accumulate(prefix, NEG_INF, pnb + p_s)
-                    accumulate(prefix + (s,), NEG_INF, pb + p_s)
+                    accumulate(
+                        prefix + (s,), NEG_INF,
+                        pb + p_s + lm_bonus(prefix, s),
+                    )
                 else:
-                    accumulate(prefix + (s,), NEG_INF, total + p_s)
+                    accumulate(
+                        prefix + (s,), NEG_INF,
+                        total + p_s + lm_bonus(prefix, s),
+                    )
 
         ranked = sorted(
             new.items(), key=lambda kv: _logaddexp(*kv[1]), reverse=True
@@ -96,11 +233,15 @@ def ctc_beam_decode_batch(
     lengths: np.ndarray,
     beam_width: int = 25,
     blank_id: int = 0,
+    lm: Optional[CharNGramLM] = None,
+    lm_weight: float = 0.5,
+    token_bonus: float = 0.0,
 ) -> List[List[int]]:
     """Beam-decode a padded batch: (B, T, V) + per-row frame lengths."""
     return [
         ctc_prefix_beam_search(
-            log_probs[i, : int(lengths[i])], beam_width, blank_id
+            log_probs[i, : int(lengths[i])], beam_width, blank_id,
+            lm=lm, lm_weight=lm_weight, token_bonus=token_bonus,
         )
         for i in range(log_probs.shape[0])
     ]

@@ -114,6 +114,9 @@ class GreedyCTCEvaluator:
         use_attention_mask: Optional[bool] = None,
         mesh=None,
         beam_width: int = 0,
+        lm=None,
+        lm_weight: float = 0.5,
+        token_bonus: float = 0.0,
     ):
         self.config = config
         self.params = params
@@ -125,8 +128,12 @@ class GreedyCTCEvaluator:
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         # beam_width > 0: CTC prefix beam search over the summed alignment
         # mass instead of greedy argmax (`decoding.py` — an upgrade over
-        # the reference's greedy-only decode, `processor.py:71-89`)
+        # the reference's greedy-only decode, `processor.py:71-89`);
+        # lm: optional `decoding.CharNGramLM` shallow fusion
         self.beam_width = beam_width
+        self.lm = lm
+        self.lm_weight = lm_weight
+        self.token_bonus = token_bonus
         self._jitted = {}
 
     # -- mesh plumbing ----------------------------------------------------
@@ -292,7 +299,8 @@ class GreedyCTCEvaluator:
 
             seqs = ctc_beam_decode_batch(
                 preds[:b], frame_lengths[:b], self.beam_width,
-                self.config.pad_id,
+                self.config.pad_id, lm=self.lm, lm_weight=self.lm_weight,
+                token_bonus=self.token_bonus,
             )
             return [
                 self.tokenizer.decode(

@@ -55,6 +55,132 @@ def test_beam_width_one_equals_sharp_greedy():
     assert ctc_prefix_beam_search(lp, beam_width=8) == collapsed
 
 
+def test_char_ngram_lm_is_normalized_and_learns():
+    """Witten-Bell probabilities sum to 1 over the vocab for any context,
+    and training text shifts mass onto seen continuations."""
+    from gsoc_wav2vec2_tpu.decoding import CharNGramLM
+
+    lm = CharNGramLM(order=3, vocab_size=8).fit(
+        [[5, 6, 7, 5, 6], [5, 6, 7], [5, 6]]
+    )
+    for ctx in [(), (5,), (5, 6), (6, 7), (3, 3)]:
+        total = sum(np.exp(lm.logp(ctx, s)) for s in range(8))
+        np.testing.assert_allclose(total, 1.0, rtol=1e-9)
+    # after "5 6", "7" dominates (seen twice out of three continuations)
+    assert lm.logp((5, 6), 7) > lm.logp((5, 6), 4)
+    # unseen contexts back off, never -inf
+    assert np.isfinite(lm.logp((3, 3), 1))
+
+
+def test_lm_save_load_roundtrip(tmp_path):
+    from gsoc_wav2vec2_tpu.decoding import CharNGramLM
+
+    lm = CharNGramLM(order=2, vocab_size=6).fit([[1, 2, 3], [1, 2]])
+    path = str(tmp_path / "lm.json")
+    lm.save(path)
+    lm2 = CharNGramLM.load(path)
+    for ctx in [(), (1,), (2,), (5,)]:
+        for s in range(6):
+            np.testing.assert_allclose(lm2.logp(ctx, s), lm.logp(ctx, s))
+
+
+def test_shallow_fusion_recovers_ambiguous_token():
+    """Acoustics split evenly between two continuations; the LM (trained on
+    text that always continues one way) must break the tie — and with
+    fusion off, the decoder must NOT prefer it."""
+    from gsoc_wav2vec2_tpu.decoding import CharNGramLM
+
+    # vocab: 0=blank, 1='A', 2='B', 3='C'.  LM: "A B" always (never "A C").
+    lm = CharNGramLM(order=2, vocab_size=4).fit([[1, 2]] * 20)
+    # frames: certain 'A', then a 50/50 B-vs-C frame (tiny tilt toward C so
+    # the acoustics-only decode picks C)
+    p = np.log(np.asarray([
+        [0.01, 0.97, 0.01, 0.01],
+        [0.02, 0.02, 0.47, 0.49],
+    ]))
+    plain = ctc_prefix_beam_search(p, beam_width=8)
+    assert plain == [1, 3]
+    fused = ctc_prefix_beam_search(
+        p, beam_width=8, lm=lm, lm_weight=0.5, token_bonus=0.0
+    )
+    assert fused == [1, 2]
+
+
+def test_fit_from_librispeech_layout(tmp_path):
+    from gsoc_wav2vec2_tpu.decoding import CharNGramLM
+
+    chap = tmp_path / "7" / "9"
+    chap.mkdir(parents=True)
+    (chap / "7-9.trans.txt").write_text(
+        "7-9-0000 HELLO WORLD\n7-9-0001 HELLO AGAIN"
+    )
+    lm = CharNGramLM.fit_from_librispeech(str(tmp_path), order=3)
+    # H(11) E(5) L(15) L(15) O(8): after "L L" the corpus always sees "O"
+    assert lm.logp((15, 15), 8) > lm.logp((15, 15), 5)
+
+
+def test_evaluate_cli_beam_with_lm(tmp_path):
+    """`cli.evaluate --beam_width --lm_fit_dir` end-to-end: fits the LM on
+    the corpus transcripts, decodes with fusion, saves the LM JSON."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from flac_encoder import encode_flac
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
+
+    config = Wav2Vec2Config(
+        hidden_size=64, num_heads=4, num_layers=1, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    model_dir = str(tmp_path / "model")
+    Wav2Vec2ForCTC(config, seed=0).save_pretrained(model_dir)
+
+    chap = tmp_path / "1" / "1"
+    chap.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(2):
+        n = 1600
+        sig = np.clip(
+            1500 * np.sin(np.arange(n) / (3.0 + i)), -32768, 32767
+        ).astype(np.int64)
+        (chap / f"1-1-{i:04d}.flac").write_bytes(
+            encode_flac(sig, subframe_kind="fixed", order=2, rice_param=7)
+        )
+        lines.append(f"1-1-{i:04d} HELLO WORLD")
+    (chap / "1-1.trans.txt").write_text("\n".join(lines))
+
+    lm_path = str(tmp_path / "lm.json")
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.evaluate",
+            "--model_dir", model_dir, "--data_dir", str(tmp_path),
+            "--mode", "padded", "--pad_to", "1600", "--batch_size", "2",
+            "--beam_width", "4", "--lm_fit_dir", str(tmp_path),
+            "--lm_path", lm_path, "--lm_weight", "0.3",
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    report = json.loads(result.stdout.strip().splitlines()[-1])
+    assert report["beam_width"] == 4
+    assert report["lm"]["weight"] == 0.3
+    assert 0.0 <= report["wer"] <= 1.0
+    # the fitted LM was persisted and round-trips
+    from gsoc_wav2vec2_tpu.decoding import CharNGramLM
+
+    lm = CharNGramLM.load(lm_path)
+    assert np.isfinite(lm.logp((11, 5), 15))  # "HE" -> "L"
+
+
 def test_evaluator_beam_width_end_to_end():
     """`GreedyCTCEvaluator(beam_width=...)` produces strings and agrees
     with greedy on a peaked (deterministic-ish) model output; batch API
