@@ -125,17 +125,26 @@ def main() -> None:
         model.config, model.params, mesh=mesh, beam_width=args.beam_width,
         lm=lm, lm_weight=args.lm_weight, token_bonus=args.token_bonus,
     )
+    # multi-host: each process reads only its corpus slice — the evaluator
+    # aggregates (errors, words, n) globally, so feeding every host the
+    # whole corpus would P-fold both the work and num_samples
+    import jax as _jax
+
+    shard = dict(
+        shard_index=_jax.process_index(), shard_count=_jax.process_count()
+    )
     if args.tfrecords:
         from ..data.remote import expand_patterns
 
         loader = LibriSpeechDataLoader(
             LibriSpeechDataLoaderArgs(
                 from_tfrecords=True, tfrecords=expand_patterns(args.tfrecords)
-            )
+            ),
+            **shard,
         )
     else:
         loader = LibriSpeechDataLoader(
-            LibriSpeechDataLoaderArgs(data_dir=args.data_dir)
+            LibriSpeechDataLoaderArgs(data_dir=args.data_dir), **shard
         )
 
     def sample_iter():

@@ -63,6 +63,9 @@ class PretrainingArgs:
 
     batch_size_per_device: int = 8
     audio_maxlen: int = 246000
+    # LR-decay horizon override; 0 = epochs x steps-per-epoch when the
+    # loader can count its stream, else the paper recipe's 500k steps
+    total_steps: int = 0
     seed: int = 0
     logging_steps: int = 16
     ckpt_every_epochs: int = 1
@@ -136,8 +139,24 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
         shard_index=jax.process_index(),
         shard_count=jax.process_count(),
     )
-    steps_per_epoch = loader.num_batches(drop_remainder=True)
-    total_steps = max(steps_per_epoch * args.epochs, 1)
+    # per-host shards can differ by one batch; the schedule horizon below is
+    # baked into every host's jitted step, so it must be the GLOBAL minimum
+    # (lockstep_batches drains exactly that many)
+    steps_per_epoch = multihost.sync_min_count(
+        loader.num_batches(drop_remainder=True)
+    )
+    if args.total_steps > 0:
+        total_steps = args.total_steps
+    elif steps_per_epoch is not None:
+        total_steps = max(steps_per_epoch * args.epochs, 1)
+    else:
+        # tfrecord streams cannot be counted without a full scan; decay
+        # over the wav2vec2-base recipe's 500k-step horizon instead
+        total_steps = 500_000
+        print(
+            "tfrecord stream length unknown: LR decays over 500000 steps "
+            "(--total_steps overrides)"
+        )
 
     params = init_wav2vec2_for_pretraining_params(
         jax.random.PRNGKey(args.seed), config
@@ -162,19 +181,29 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
         params=params,
         opt_state=jax.jit(tx.init)(params),
     )
+    if args.resume is not None:
+        # continue inside the previous run's checkpoint dir (same contract
+        # as cli.train --resume)
+        args.ckpt_dir = args.resume
     ckpt = CheckpointManager(os.path.join(args.ckpt_dir, "pretrain"))
     start_epoch = 0
     if args.resume is not None:
         last = ckpt.latest_step()
-        if last is not None:
-            state = ckpt.restore(state)
-            start_epoch = int(last)
-            print(f"pretrain: resumed epoch {start_epoch} from {args.resume}")
+        if last is None:
+            raise ValueError(
+                f"--resume {args.resume}: no checkpoint found under "
+                f"{os.path.join(args.ckpt_dir, 'pretrain')} — refusing to "
+                "silently restart from scratch"
+            )
+        state = ckpt.restore(state)
+        start_epoch = int(last)
+        print(f"pretrain: resumed epoch {start_epoch} from {args.resume}")
 
     step_fn = make_pretrain_step(
         config,
         tx,
         division_factor=global_batch,
+        with_attention_mask=True,
         compute_dtype=getattr(jnp, args.compute_dtype),
         remat=(args.remat_policy if args.remat_policy != "full" else True)
         if args.remat else False,
@@ -183,11 +212,19 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
     frames = int(config.conv_output_length(args.audio_maxlen))
 
     @jax.jit
-    def batch_masks(rng):
-        return compute_mask_indices(
+    def batch_masks(rng, attention_mask):
+        # mask-span starts restricted to REAL frames: padded frames must
+        # never become contrastive targets/negatives (a typical utterance
+        # padded to audio_maxlen is 20-70% padding)
+        frame_length = config.conv_output_length(
+            jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+        )
+        mask = compute_mask_indices(
             rng, global_batch, frames, args.mask_time_prob,
             args.mask_time_length,
         )
+        valid = jnp.arange(frames)[None, :] < frame_length[:, None]
+        return mask & valid
 
     rng = jax.device_put(jax.random.PRNGKey(args.seed + 1), repl)
     logger = MetricLogger(args.log_dir, project=args.wandb_project,
@@ -204,12 +241,16 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
             for batch in batches:
                 epoch_batches += 1
                 device_batch = multihost.host_local_batch_to_global(
-                    {"speech": batch["speech"]}, mesh
+                    {"speech": batch["speech"],
+                     "attention_mask": batch["attention_mask"]},
+                    mesh,
                 )
                 mask_rng = jax.random.fold_in(
                     jax.random.PRNGKey(args.seed + 7), step_count
                 )
-                device_batch["mask_time_indices"] = batch_masks(mask_rng)
+                device_batch["mask_time_indices"] = batch_masks(
+                    mask_rng, device_batch["attention_mask"]
+                )
                 temp = gumbel_temperature(args, step_count)
                 state, metrics = step_fn(
                     state, device_batch, rng, jnp.float32(temp)
@@ -276,6 +317,7 @@ def parse_args() -> PretrainingArgs:
     for f_name, f_def in (
         ("epochs", 1), ("warmup_steps", 32000), ("mask_time_length", 10),
         ("batch_size_per_device", 8), ("audio_maxlen", 246000), ("seed", 0),
+        ("total_steps", 0),
         ("logging_steps", 16), ("ckpt_every_epochs", 1), ("model_axis", 1),
     ):
         parser.add_argument(f"--{f_name}", type=int, default=f_def)

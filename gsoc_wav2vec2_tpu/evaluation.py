@@ -293,7 +293,10 @@ class GreedyCTCEvaluator:
             # sees only real audio frames
             frame_lengths = self.config.conv_output_length(sample_lengths)
         preds = np.asarray(preds)
-        frame_lengths = np.asarray(frame_lengths)
+        # conv_output_length goes NEGATIVE below ~25 samples on the 7-layer
+        # stack (each layer floors); filler/dummy rows use tiny lengths, and
+        # a negative slice bound would silently decode almost a full row
+        frame_lengths = np.clip(np.asarray(frame_lengths), 0, preds.shape[1])
         if self.beam_width > 0:
             from .decoding import ctc_beam_decode_batch
 
@@ -357,6 +360,22 @@ class GreedyCTCEvaluator:
                     self.params, jnp.asarray(chunk[None, :])
                 )
             ids.append(np.asarray(preds)[0, keep_lo:keep_hi])
+        if self.beam_width > 0:
+            # beam mode: the step returned per-frame LOG-PROBS, not ids —
+            # concatenate the kept slices and run ONE prefix beam search
+            # over the whole utterance (strictly better than per-chunk
+            # decoding: mass sums across chunk boundaries; host cost is
+            # O(frames x beam x vocab))
+            from .decoding import ctc_prefix_beam_search
+
+            seq = ctc_prefix_beam_search(
+                np.concatenate(ids, axis=0), self.beam_width,
+                self.config.pad_id, lm=self.lm, lm_weight=self.lm_weight,
+                token_bonus=self.token_bonus,
+            )
+            return self.tokenizer.decode(
+                np.asarray(seq, np.int32), group_tokens=False
+            )
         return self.tokenizer.decode(np.concatenate(ids))
 
     def evaluate_padded(
@@ -393,7 +412,11 @@ class GreedyCTCEvaluator:
         for (batch, lengths, texts), real in self._lockstep(batches(), dummy):
             rows = fixed_rows or len(batch)
             speech = np.zeros((rows, pad_to), np.float32)
-            row_lengths = np.full((rows,), pad_to, np.int64)
+            # filler rows get length 0 (shapes — all SPMD needs — stay
+            # identical): they then decode zero frames instead of paying a
+            # full-length host-side decode whose output is dropped anyway
+            # (with beam search that is ~768 frames x beams x vocab each)
+            row_lengths = np.zeros((rows,), np.int64)
             for i, s in enumerate(batch):
                 speech[i, : min(len(s), pad_to)] = s[:pad_to]
                 row_lengths[i] = min(lengths[i], pad_to)

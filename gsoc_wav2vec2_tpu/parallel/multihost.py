@@ -73,6 +73,24 @@ def sync_run_id(run_id: str, max_len: int = 64) -> str:
     return bytes(np.asarray(synced)).rstrip(b"\x00").decode()
 
 
+def sync_min_count(count: Optional[int]) -> Optional[int]:
+    """Global minimum of a per-host count (one allgather); None stays None.
+
+    Use for anything that must be IDENTICAL across hosts but is derived
+    from per-host data shards — e.g. a step-indexed LR-schedule horizon:
+    shards can differ by one batch, and baking different horizons into
+    each host's jitted step silently desynchronises replicated params.
+    Single-process: identity.
+    """
+    if count is None or jax.process_count() == 1:
+        return count
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(np.asarray(int(count)))
+    return int(np.min(counts))
+
+
 def lockstep_batches(iterator, num_batches: Optional[int] = None):
     """Yield from a per-host batch iterator while EVERY process still has a
     batch.

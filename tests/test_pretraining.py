@@ -241,6 +241,57 @@ def test_pretrain_cli_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_pretrain_cli_tfrecords_and_resume_refusal(tmp_path):
+    """Two regressions: (1) tfrecord input used to crash on the unknowable
+    stream length (num_batches None * epochs); (2) --resume pointing at a
+    dir with no checkpoint must refuse loudly, not silently restart."""
+    import os
+    import subprocess
+    import sys
+
+    from gsoc_wav2vec2_tpu.data.native_io import TFRecordWriter
+
+    rng = np.random.default_rng(7)
+    shard = str(tmp_path / "train-0.tfrecord")
+    with TFRecordWriter(shard) as w:
+        for _ in range(8):
+            w.write(
+                rng.standard_normal(6000).astype(np.float32),
+                np.asarray([5, 6, 7], np.int32),
+            )
+
+    config = tiny_pretraining_config(num_layers=1)
+    cfg_dir = tmp_path / "cfg"
+    config.save_pretrained(str(cfg_dir))
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    base_args = [
+        sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.pretrain",
+        "--train_tfrecords", shard,
+        "--config", str(cfg_dir / "config.json"),
+        "--epochs", "1", "--batch_size_per_device", "1",
+        "--audio_maxlen", "6000", "--mask_time_length", "2",
+        "--warmup_steps", "2", "--lr", "1e-4", "--logging_steps", "1",
+        "--compute_dtype", "float32",
+        "--ckpt_dir", str(tmp_path / "ckpts"), "--log_dir", str(tmp_path / "logs"),
+    ]
+    result = subprocess.run(base_args, capture_output=True, text=True,
+                            env=env, cwd="/root/repo", timeout=900)
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "tfrecord stream length unknown" in result.stdout
+
+    empty = str(tmp_path / "nothing_here")
+    os.makedirs(empty)
+    result = subprocess.run(
+        base_args + ["--resume", empty], capture_output=True, text=True,
+        env=env, cwd="/root/repo", timeout=900,
+    )
+    assert result.returncode != 0
+    assert "refusing to silently restart" in result.stderr
+
+
 def test_pretrain_step_on_mesh_matches_single_device():
     """The sharded pretrain step (4x2 data×model mesh over 8 virtual CPU
     devices) computes the same objective as the unsharded step.  The
