@@ -34,10 +34,28 @@ def main() -> None:
         "--context_samples", type=int, default=16000,
         help="overlap context on each side of a long-form chunk",
     )
+    parser.add_argument(
+        "--beam_width", type=int, default=0,
+        help="CTC prefix beam search width (0 = greedy)",
+    )
+    parser.add_argument("--lm_path", type=str, default=None,
+                        help="CharNGramLM JSON for shallow fusion")
+    parser.add_argument("--lm_weight", type=float, default=0.5)
+    parser.add_argument("--token_bonus", type=float, default=0.0)
     args = parser.parse_args()
 
+    lm = None
+    if args.lm_path:
+        if args.beam_width <= 0:
+            parser.error("--lm_path requires --beam_width > 0")
+        from ..decoding import CharNGramLM
+
+        lm = CharNGramLM.load(args.lm_path)
     model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
-    evaluator = GreedyCTCEvaluator(model.config, model.params)
+    evaluator = GreedyCTCEvaluator(
+        model.config, model.params, beam_width=args.beam_width,
+        lm=lm, lm_weight=args.lm_weight, token_bonus=args.token_bonus,
+    )
     processor = Wav2Vec2Processor(is_tokenizer=False)
 
     for path in args.files:

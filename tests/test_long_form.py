@@ -125,6 +125,19 @@ def test_transcribe_cli_end_to_end(tmp_path):
     assert report["file"] == str(flac)
     assert isinstance(report["transcription"], str)
 
+    # beam-mode flag wires through the same long-form path
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.transcribe",
+            "--model_dir", model_dir, "--chunk_samples", "9000",
+            "--context_samples", "1000", "--beam_width", "4", str(flac),
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(result.stdout.strip().splitlines()[-1])
+    assert isinstance(report["transcription"], str)
+
 
 def test_transcribe_long_with_beam_width(tiny):
     """Beam mode returns a string for multi-chunk audio (regression: the
