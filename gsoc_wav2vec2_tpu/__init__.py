@@ -9,6 +9,7 @@ Public surface mirrors the reference package
 from .data.processor import Wav2Vec2Processor
 from .models.config import (
     RobustWav2Vec2Config,
+    RobustWav2Vec2PretrainingConfig,
     Wav2Vec2Config,
     Wav2Vec2PretrainingConfig,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "Wav2Vec2Config",
     "RobustWav2Vec2Config",
     "Wav2Vec2PretrainingConfig",
+    "RobustWav2Vec2PretrainingConfig",
     "CTCLoss",
     "Wav2Vec2ForCTC",
     "Wav2Vec2Model",

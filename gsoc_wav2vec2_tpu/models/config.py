@@ -164,3 +164,22 @@ class RobustWav2Vec2Config(Wav2Vec2Config):
     intermediate_size: int = 4096
     num_heads: int = 16
     num_layers: int = 24
+
+
+@dataclass
+class RobustWav2Vec2PretrainingConfig(Wav2Vec2PretrainingConfig):
+    """Pretraining at the large/XLSR geometry (24 pre-norm layers, 1024-d,
+    768-d codevectors — `facebook/wav2vec2-large`'s quantizer dims)."""
+
+    attention_norm_type: str = "prenorm"
+    feature_extractor_norm_type: str = "layer"
+    is_robust: bool = True
+    conv_bias: bool = True
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_heads: int = 16
+    num_layers: int = 24
+
+    codevector_dim: int = 768
+    proj_codevector_dim: int = 768

@@ -16,7 +16,7 @@ from gsoc_wav2vec2_tpu import RobustWav2Vec2Config, Wav2Vec2Config
 from gsoc_wav2vec2_tpu.parallel import make_mesh
 
 
-def _dryrun_step(*args, **kwargs):
+def _entry_module():
     import importlib.util
     import os
 
@@ -25,7 +25,11 @@ def _dryrun_step(*args, **kwargs):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod._dryrun_step(*args, **kwargs)
+    return mod
+
+
+def _dryrun_step(*args, **kwargs):
+    return _entry_module()._dryrun_step(*args, **kwargs)
 
 
 @pytest.mark.slow
@@ -46,3 +50,14 @@ def test_robust_317m_train_step_on_8_device_mesh():
         with_attention_mask=True, remat="dots", label="robust-317M(pytest)",
     )
     assert loss > 0
+
+
+@pytest.mark.slow
+def test_pretraining_base_geometry_step_on_8_device_mesh():
+    """Full base-geometry self-supervised pretraining (95M backbone + the
+    2x320 quantizer, contrastive objective) through one sharded optimizer
+    step on the 4x2 mesh."""
+    mesh = make_mesh(data=4, model=2)
+    _entry_module()._dryrun_pretrain_step(
+        mesh, 8, config=None, audio_len=16000, label="pretrain-base(pytest)"
+    )

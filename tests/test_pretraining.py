@@ -40,10 +40,12 @@ def _hf_mask_and_negatives(config, b, frames, seed=0):
 
 
 @requires_transformers
-def test_pretraining_forward_and_loss_match_hf_oracle():
+@pytest.mark.parametrize("robust", [False, True])
+def test_pretraining_forward_and_loss_match_hf_oracle(robust):
     """Eval-mode (deterministic argmax quantizer, no dropout) forward +
     full loss vs the live HF torch model with identical weights, mask and
-    negatives."""
+    negatives — both the base (post-norm/group) and robust (pre-norm/
+    layer-norm, the large/XLSR pretraining geometry) families."""
     import torch
     import transformers
 
@@ -53,7 +55,7 @@ def test_pretraining_forward_and_loss_match_hf_oracle():
         pretraining_params_from_hf_model,
     )
 
-    config = tiny_pretraining_config()
+    config = tiny_pretraining_config(robust=robust)
     hf_config = matching_hf_config(config)
     # pretraining REQUIRES the mask fill (HF gates `_mask_hidden_states`
     # behind apply_spec_augment, which the fine-tune parity helper disables)

@@ -134,3 +134,17 @@ def test_two_stage_cli_reaches_wer_zero(corpus, tiny_model_dir, tmp_path):
         f"model did not learn to transcribe: {report} "
         f"(train stderr tail: {result.stderr[-500:]})"
     )
+
+    # prefix beam search on the same trained model must also reach WER 0 —
+    # the decode upgrade may never be WORSE than greedy on a confident model
+    beam_result = subprocess.run(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.evaluate",
+            "--model_dir", final, "--data_dir", corpus,
+            "--mode", "single", "--round_to", "1", "--beam_width", "8",
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=900,
+    )
+    assert beam_result.returncode == 0, beam_result.stderr[-3000:]
+    beam_report = json.loads(beam_result.stdout.strip().splitlines()[-1])
+    assert beam_report["wer"] == 0.0, f"beam decode regressed: {beam_report}"

@@ -48,9 +48,12 @@ def tiny_config(robust: bool = False, **kwargs):
     return cls(**base)
 
 
-def tiny_pretraining_config(**kwargs):
+def tiny_pretraining_config(robust: bool = False, **kwargs):
     """Small pretraining config (quantizer dims scaled down to match)."""
-    from gsoc_wav2vec2_tpu import Wav2Vec2PretrainingConfig
+    from gsoc_wav2vec2_tpu import (
+        RobustWav2Vec2PretrainingConfig,
+        Wav2Vec2PretrainingConfig,
+    )
 
     base = dict(
         vocab_size=32,
@@ -72,7 +75,8 @@ def tiny_pretraining_config(**kwargs):
         num_negatives=10,
     )
     base.update(kwargs)
-    return Wav2Vec2PretrainingConfig(**base)
+    cls = RobustWav2Vec2PretrainingConfig if robust else Wav2Vec2PretrainingConfig
+    return cls(**base)
 
 
 def matching_hf_config(cfg):
