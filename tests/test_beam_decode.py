@@ -55,6 +55,28 @@ def test_beam_width_one_equals_sharp_greedy():
     assert ctc_prefix_beam_search(lp, beam_width=8) == collapsed
 
 
+def test_vectorized_matches_dict_engine():
+    """The numpy-vectorized engine (the lm=None fast path) must produce
+    the SAME decode as the per-frame dict engine for many random inputs,
+    beam widths and pruning settings — including long sequences where
+    merging/ranking differences would compound."""
+    from gsoc_wav2vec2_tpu.decoding import CharNGramLM
+
+    # lm with zero weight forces the dict engine while leaving scores
+    # untouched (fusion adds lm_weight * logp == 0)
+    null_lm = CharNGramLM(order=1, vocab_size=8)
+    for seed in range(10):
+        for t, v, bw, topk in [
+            (20, 6, 4, 0), (50, 8, 16, 0), (120, 8, 8, 4), (768, 8, 25, 0),
+        ]:
+            lp = _rand_logprobs(t, v if v <= 8 else 8, seed)
+            fast = ctc_prefix_beam_search(lp, bw, top_k_tokens=topk)
+            slow = ctc_prefix_beam_search(
+                lp, bw, top_k_tokens=topk, lm=null_lm, lm_weight=0.0
+            )
+            assert fast == slow, (seed, t, v, bw, topk, fast, slow)
+
+
 def test_char_ngram_lm_is_normalized_and_learns():
     """Witten-Bell probabilities sum to 1 over the vocab for any context,
     and training text shifts mass onto seen continuations."""
