@@ -12,7 +12,6 @@ so no network fetch is ever needed; a `vocab_path` can still override it.
 from __future__ import annotations
 
 import json
-import os
 import re
 from itertools import groupby
 from typing import List, Union
