@@ -41,6 +41,7 @@ from ..parallel import make_mesh, multihost, replicated, shard_params
 from ..training import (
     TrainState,
     create_optimizer,
+    make_grad_accum_steps,
     make_train_step,
     trainable_mask,
 )
@@ -62,6 +63,11 @@ class TrainingArgs:
     transition_epoch: int = 10
 
     batch_size_per_device: int = 32
+    # microbatches summed per optimizer update.  The reference recipe runs
+    # at global batch 256 = 8 chips x 32 (`main.py:156`); --grad_accum 8
+    # reproduces that update exactly on a single chip (SUM/division_factor
+    # loss semantics make summed microbatch grads equal the big-batch grad).
+    grad_accum: int = 1
     audio_maxlen: int = 246000  # multiple of 128 frames, `main.py:48-51`
     labels_maxlen: int = 256
     seed: int = 0
@@ -247,10 +253,12 @@ def run_stage(
         return state.params
 
     bucketed = bool(args.bucket_boundaries)
-    step_fn = make_train_step(
-        config,
-        tx,
-        division_factor=global_batch,
+    accum = max(args.grad_accum, 1)
+    step_kwargs = dict(
+        # each optimizer update sums `accum` microbatch losses, so the
+        # division factor is the *effective* batch (reference SUM/global
+        # batch semantics, `main.py:196-200`)
+        division_factor=global_batch * accum,
         # bucketed batches still pad within a bucket: masks + length-aware
         # CTC keep that padding out of the loss (SURVEY §5)
         with_attention_mask=config.is_robust or args.length_aware_loss or bucketed,
@@ -263,6 +271,12 @@ def run_stage(
         # (set_to_zero masks them anyway), much cheaper backward
         frozen=frozen,
     )
+    if accum == 1:
+        step_fn = make_train_step(config, tx, **step_kwargs)
+    else:
+        init_fn, accum_fn, apply_fn = make_grad_accum_steps(
+            config, tx, **step_kwargs
+        )
     rng = jax.device_put(jax.random.PRNGKey(args.seed + stage), replicated(mesh))
 
     step_count = int(jax.device_get(state.step))
@@ -277,13 +291,27 @@ def run_stage(
                 train_loader(seed=args.seed + epoch, drop_remainder=True),
                 num_batches=train_loader.num_batches(drop_remainder=True),
             )
+            micro = 0
             for batch in batches:
                 epoch_batches += 1
                 device_batch = multihost.host_local_batch_to_global(
                     {k: batch[k] for k in ("speech", "labels", "attention_mask")},
                     mesh,
                 )
-                state, metrics = step_fn(state, device_batch, rng)
+                if accum == 1:
+                    state, metrics = step_fn(state, device_batch, rng)
+                else:
+                    if micro == 0:
+                        grads_acc, loss_acc = init_fn(state.params)
+                    grads_acc, loss_acc = accum_fn(
+                        state.params, device_batch, rng, state.step,
+                        jnp.int32(micro), grads_acc, loss_acc,
+                    )
+                    micro += 1
+                    if micro < accum:
+                        continue  # update incomplete: keep accumulating
+                    micro = 0
+                    state, metrics = apply_fn(state, grads_acc, loss_acc)
                 step_count += 1
                 if step_count % args.logging_steps == 0:
                     logger.log(
@@ -293,6 +321,15 @@ def run_stage(
                          "epoch": epoch},
                         step=step_count,
                     )
+            if micro > 0:
+                # trailing microbatches short of a full update are dropped —
+                # the per-epoch analog of `drop_remainder` (a partial SUM
+                # against the fixed division factor would under-weigh the
+                # update); the next epoch starts a fresh accumulator
+                print(
+                    f"stage {stage} epoch {epoch}: dropped {micro} trailing "
+                    f"microbatch(es) short of --grad_accum {accum}"
+                )
         except KeyboardInterrupt:
             # graceful per-stage skip, as in the reference
             # (`main.py:225-226,252-253`): keep the progress made so far and
@@ -388,6 +425,8 @@ def main(args: TrainingArgs) -> None:
             "streams diverge in shape, which multi-host SPMD lockstep "
             "cannot serve; drop the buckets or run one process"
         )
+    if args.grad_accum < 1:
+        raise ValueError(f"--grad_accum must be >= 1, got {args.grad_accum}")
     mesh = make_mesh(model=args.model_axis)
     print(f"mesh: {dict(mesh.shape)}, devices: {jax.device_count()}")
 
@@ -447,6 +486,7 @@ def parse_args() -> TrainingArgs:
         ("stage2_epochs", defaults.stage2_epochs),
         ("transition_epoch", defaults.transition_epoch),
         ("batch_size_per_device", defaults.batch_size_per_device),
+        ("grad_accum", defaults.grad_accum),
         ("audio_maxlen", defaults.audio_maxlen),
         ("labels_maxlen", defaults.labels_maxlen),
         ("seed", defaults.seed),

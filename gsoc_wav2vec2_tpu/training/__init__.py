@@ -6,7 +6,7 @@ from .state import (
     trainable_mask,
 )
 from .checkpoint import CheckpointManager
-from .trainer import make_eval_step, make_train_step
+from .trainer import make_eval_step, make_grad_accum_steps, make_train_step
 
 __all__ = [
     "TrainState",
@@ -16,5 +16,6 @@ __all__ = [
     "trainable_mask",
     "CheckpointManager",
     "make_train_step",
+    "make_grad_accum_steps",
     "make_eval_step",
 ]

@@ -35,6 +35,52 @@ def global_norm(tree) -> jax.Array:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
 
 
+def _make_ctc_loss_fn(
+    config: Wav2Vec2Config,
+    *,
+    division_factor: float,
+    with_attention_mask: bool,
+    length_aware: bool,
+    compute_dtype,
+    remat,
+    mesh,
+    attention_impl: str,
+    frozen: tuple,
+):
+    """`(params, batch, rng) -> scalar` — SUM of per-sample CTC losses over
+    this batch divided by `division_factor` (reference semantics,
+    `main.py:196-200`).  Shared by the fused train step and the
+    gradient-accumulation steps."""
+
+    def loss_fn(params, batch, rng):
+        mask = batch.get("attention_mask") if with_attention_mask else None
+        logits = wav2vec2_for_ctc_forward(
+            params,
+            config,
+            batch["speech"],
+            mask,
+            training=True,
+            rng=rng,
+            compute_dtype=compute_dtype,
+            remat=remat,
+            mesh=mesh,
+            attention_impl=attention_impl,
+            frozen=frozen,
+        )
+        b, t = logits.shape[0], logits.shape[1]
+        if length_aware and mask is not None:
+            sample_lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            logit_lengths = config.conv_output_length(sample_lengths)
+        else:
+            # reference quirk kept for recipe parity: constant logit length
+            # including padding frames (`losses.py:29-30,47-56`)
+            logit_lengths = jnp.full((b,), t, jnp.int32)
+        per_sample = ctc_loss_fn(logits, batch["labels"], logit_lengths, config.pad_id)
+        return jnp.sum(per_sample) / division_factor
+
+    return loss_fn
+
+
 def make_train_step(
     config: Wav2Vec2Config,
     tx: optax.GradientTransformation,
@@ -64,32 +110,17 @@ def make_train_step(
     Must match the optimizer mask (`optax.set_to_zero` keeps the parameter
     trajectory bit-identical either way; this just removes dead compute).
     """
-
-    def loss_fn(params, batch, rng):
-        mask = batch.get("attention_mask") if with_attention_mask else None
-        logits = wav2vec2_for_ctc_forward(
-            params,
-            config,
-            batch["speech"],
-            mask,
-            training=True,
-            rng=rng,
-            compute_dtype=compute_dtype,
-            remat=remat,
-            mesh=mesh,
-            attention_impl=attention_impl,
-            frozen=frozen,
-        )
-        b, t = logits.shape[0], logits.shape[1]
-        if length_aware and mask is not None:
-            sample_lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
-            logit_lengths = config.conv_output_length(sample_lengths)
-        else:
-            # reference quirk kept for recipe parity: constant logit length
-            # including padding frames (`losses.py:29-30,47-56`)
-            logit_lengths = jnp.full((b,), t, jnp.int32)
-        per_sample = ctc_loss_fn(logits, batch["labels"], logit_lengths, config.pad_id)
-        return jnp.sum(per_sample) / division_factor
+    loss_fn = _make_ctc_loss_fn(
+        config,
+        division_factor=division_factor,
+        with_attention_mask=with_attention_mask,
+        length_aware=length_aware,
+        compute_dtype=compute_dtype,
+        remat=remat,
+        mesh=mesh,
+        attention_impl=attention_impl,
+        frozen=frozen,
+    )
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -101,6 +132,85 @@ def make_train_step(
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_grad_accum_steps(
+    config: Wav2Vec2Config,
+    tx: optax.GradientTransformation,
+    *,
+    division_factor: float,
+    with_attention_mask: bool = False,
+    length_aware: bool = False,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+    mesh=None,
+    attention_impl: str = "auto",
+    frozen: tuple = (),
+):
+    """Gradient accumulation: `(init_fn, accum_fn, apply_fn)`.
+
+    The reference's recipe runs at global batch 256 = 8 chips × 32
+    (`/root/reference/src/main.py:156`); a single chip (or a smaller mesh)
+    cannot hold that batch, so the driver splits each optimizer update into
+    N microbatches.  Because the loss is SUM over the *effective* batch
+    divided by `division_factor` (set to the effective batch size), summing
+    microbatch gradients reproduces the big-batch update exactly — the
+    parameter trajectory matches a single N×-sized step up to float
+    reassociation.
+
+    Protocol per optimizer update::
+
+        grads, loss = init_fn(state.params)          # zeroed accumulators
+        for i, batch in enumerate(microbatches):     # any i-varying shapes
+            grads, loss = accum_fn(state.params, batch, rng, state.step,
+                                   jnp.int32(i), grads, loss)
+        state, metrics = apply_fn(state, grads, loss)
+
+    `accum_fn` donates the accumulators (grads update in place in HBM);
+    `apply_fn` donates state + accumulators.  Peak memory is one
+    microbatch's activations plus one params-sized gradient buffer, so the
+    effective batch is bounded by step *time*, not HBM.  Each microbatch
+    gets a distinct dropout stream via `fold_in(fold_in(rng, step), i)`.
+    Microbatches may differ in shape (bucketed training): each shape
+    compiles one accum program, while `apply_fn` compiles once.
+    """
+    loss_fn = _make_ctc_loss_fn(
+        config,
+        division_factor=division_factor,
+        with_attention_mask=with_attention_mask,
+        length_aware=length_aware,
+        compute_dtype=compute_dtype,
+        remat=remat,
+        mesh=mesh,
+        attention_impl=attention_impl,
+        frozen=frozen,
+    )
+
+    def init_fn(params):
+        # jitted so the zero buffers inherit the params' mesh shardings
+        return (
+            jax.tree.map(jnp.zeros_like, params),
+            jnp.zeros((), jnp.float32),
+        )
+
+    def accum_fn(params, batch, rng, step, micro_index, grads_acc, loss_acc):
+        step_rng = jax.random.fold_in(jax.random.fold_in(rng, step), micro_index)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_rng)
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        return grads_acc, loss_acc + loss
+
+    def apply_fn(state: TrainState, grads_acc, loss_acc):
+        updates, opt_state = tx.update(grads_acc, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        metrics = {"loss": loss_acc, "grad_norm": global_norm(grads_acc)}
+        return new_state, metrics
+
+    return (
+        jax.jit(init_fn),
+        jax.jit(accum_fn, donate_argnums=(5, 6)),
+        jax.jit(apply_fn, donate_argnums=(0, 1)),
+    )
 
 
 def make_eval_step(

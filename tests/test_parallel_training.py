@@ -23,6 +23,7 @@ from gsoc_wav2vec2_tpu.parallel import (
 from gsoc_wav2vec2_tpu.training import (
     TrainState,
     create_optimizer,
+    make_grad_accum_steps,
     make_train_step,
     stage2_lr_schedule,
     trainable_mask,
@@ -101,6 +102,101 @@ def test_sharded_train_step_runs_and_learns(tiny_config, mesh_shape):
     assert int(state.step) == 3
     # same batch re-fed: Adam must reduce the loss
     assert losses[-1] < losses[0]
+
+
+def test_grad_accum_matches_big_batch(tiny_config):
+    """Two accumulated microbatches of 8 must produce the same optimizer
+    updates as one batch of 16: SUM/division_factor loss semantics make
+    summed microbatch grads equal the big-batch grad (the mechanism that
+    lets a single chip reproduce the reference's global-batch-256 recipe,
+    `/root/reference/src/main.py:156`)."""
+    import dataclasses
+
+    import optax
+
+    # deterministic variant: equality must not depend on dropout RNG streams.
+    # SGD (not Adam) for the trajectory comparison: Adam amplifies float-level
+    # noise on mathematically-zero gradients (k_proj bias — softmax is
+    # invariant to a constant added across keys) into ±lr-sized sign flips.
+    config = dataclasses.replace(tiny_config, dropout=0.0, apply_spec_augment=False)
+    mesh = make_mesh(data=8, model=1)
+    tx = optax.sgd(1e-3)
+
+    def fresh_state():
+        params = shard_params(
+            init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config), mesh
+        )
+        return TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+            params=params,
+            opt_state=jax.jit(tx.init)(params),
+        )
+
+    batch = _make_batch(jax.random.PRNGKey(1), 16)
+    b_shard = batch_sharding(mesh)
+    big = jax.device_put(batch, b_shard)
+    micros = [
+        jax.device_put({k: v[i * 8:(i + 1) * 8] for k, v in batch.items()}, b_shard)
+        for i in range(2)
+    ]
+    rng = jax.device_put(jax.random.PRNGKey(2), replicated(mesh))
+    kwargs = dict(division_factor=16, with_attention_mask=True,
+                  compute_dtype=jnp.float32)
+
+    state_big = fresh_state()
+    step = make_train_step(config, tx, **kwargs)
+    big_losses = []
+    for _ in range(2):
+        state_big, metrics = step(state_big, big, rng)
+        big_losses.append(float(metrics["loss"]))
+
+    init_fn, accum_fn, apply_fn = make_grad_accum_steps(config, tx, **kwargs)
+
+    # gradient-level equality: one accumulation of the full batch IS the
+    # big-batch gradient; two microbatch accumulations must reproduce it
+    probe = fresh_state()
+    step0 = probe.step
+    g_big, l_big = init_fn(probe.params)
+    g_big, l_big = accum_fn(probe.params, big, rng, step0, jnp.int32(0), g_big, l_big)
+    g_acc, l_acc = init_fn(probe.params)
+    for i, m in enumerate(micros):
+        g_acc, l_acc = accum_fn(probe.params, m, rng, step0, jnp.int32(i), g_acc, l_acc)
+    np.testing.assert_allclose(float(l_acc), float(l_big), rtol=1e-6)
+    flat_gb = jax.tree_util.tree_leaves_with_path(g_big)
+    flat_ga = dict(jax.tree_util.tree_leaves_with_path(g_acc))
+    for path, leaf in flat_gb:
+        # bound |diff| by the leaf's gradient scale, not per element: f32
+        # reassociation (one sum of 16 vs two sums of 8, and reordered
+        # near-cancelling conv accumulations) moves individual near-zero
+        # elements by ~1e-4 while any structural accumulation bug (missing
+        # microbatch, wrong division) would be O(leaf magnitude)
+        a, b = np.asarray(leaf), np.asarray(flat_ga[path])
+        bound = 1e-4 * max(1.0, float(np.abs(a).max()))
+        assert np.abs(a - b).max() <= bound, (
+            f"{path}: max diff {np.abs(a - b).max():.3e} > {bound:.3e}"
+        )
+
+    state_acc = fresh_state()
+    acc_losses = []
+    for _ in range(2):
+        grads, loss = init_fn(state_acc.params)
+        for i, m in enumerate(micros):
+            grads, loss = accum_fn(
+                state_acc.params, m, rng, state_acc.step, jnp.int32(i), grads, loss
+            )
+        state_acc, metrics = apply_fn(state_acc, grads, loss)
+        acc_losses.append(float(metrics["loss"]))
+
+    assert int(state_acc.step) == 2
+    np.testing.assert_allclose(acc_losses, big_losses, rtol=1e-5)
+    flat_big = jax.tree_util.tree_leaves_with_path(state_big.params)
+    flat_acc = dict(jax.tree_util.tree_leaves_with_path(state_acc.params))
+    assert flat_big
+    for path, leaf in flat_big:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_acc[path]),
+            rtol=2e-5, atol=2e-6, err_msg=str(path),
+        )
 
 
 def test_frozen_subtree_stays_fixed(tiny_config):

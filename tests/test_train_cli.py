@@ -84,12 +84,16 @@ def test_train_cli_end_to_end(corpus, tiny_model_dir, tmp_path):
             "--test_dir", corpus,
             "--stage1_epochs", "1",
             "--stage2_epochs", "1",
-            "--batch_size_per_device", "1",  # global batch = 1 * (8/2) = 4 samples
+            # global batch = 1 * (8/4) = 2, x2 accumulation = 4 samples per
+            # optimizer update: drives the microbatch accumulate/apply path
+            # through the full driver alongside tensor parallelism
+            "--batch_size_per_device", "1",
+            "--grad_accum", "2",
             "--audio_maxlen", "6000",
             "--labels_maxlen", "32",
             "--logging_steps", "1",
             "--compute_dtype", "float32",
-            "--model_axis", "2",
+            "--model_axis", "4",
             "--ckpt_dir", ckpt_dir,
             "--log_dir", log_dir,
         ],
