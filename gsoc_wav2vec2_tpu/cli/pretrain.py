@@ -34,6 +34,7 @@ from ..models.config import Wav2Vec2PretrainingConfig
 from ..models.pretraining import (
     ctc_params_from_pretraining,
     init_wav2vec2_for_pretraining_params,
+    make_pretrain_accum_steps,
     make_pretrain_step,
 )
 from ..ops.specaugment import compute_mask_indices
@@ -62,6 +63,10 @@ class PretrainingArgs:
     mask_time_length: int = 10
 
     batch_size_per_device: int = 8
+    # microbatches summed per optimizer update: wav2vec2 pretraining needs
+    # large effective batches (the paper's base recipe spans 64 GPUs);
+    # accumulation reaches that on any mesh size
+    grad_accum: int = 1
     audio_maxlen: int = 246000
     # LR-decay horizon override; 0 = epochs x steps-per-epoch when the
     # loader can count its stream, else the paper recipe's 500k steps
@@ -145,10 +150,15 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
     steps_per_epoch = multihost.sync_min_count(
         loader.num_batches(drop_remainder=True)
     )
+    if args.grad_accum < 1:
+        raise ValueError(f"--grad_accum must be >= 1, got {args.grad_accum}")
+    accum = args.grad_accum
     if args.total_steps > 0:
         total_steps = args.total_steps
     elif steps_per_epoch is not None:
-        total_steps = max(steps_per_epoch * args.epochs, 1)
+        # the LR schedule is indexed by optimizer updates, of which each
+        # epoch has floor(batches / accumulation)
+        total_steps = max(steps_per_epoch // accum * args.epochs, 1)
     else:
         # tfrecord streams cannot be counted without a full scan; decay
         # over the wav2vec2-base recipe's 500k-step horizon instead
@@ -199,16 +209,20 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
         start_epoch = int(last)
         print(f"pretrain: resumed epoch {start_epoch} from {args.resume}")
 
-    step_fn = make_pretrain_step(
-        config,
-        tx,
-        division_factor=global_batch,
+    step_kwargs = dict(
+        division_factor=global_batch * accum,  # SUM over the effective batch
         with_attention_mask=True,
         compute_dtype=getattr(jnp, args.compute_dtype),
         remat=(args.remat_policy if args.remat_policy != "full" else True)
         if args.remat else False,
         mesh=mesh,
     )
+    if accum == 1:
+        step_fn = make_pretrain_step(config, tx, **step_kwargs)
+    else:
+        init_fn, accum_fn, apply_fn = make_pretrain_accum_steps(
+            config, tx, **step_kwargs
+        )
     frames = int(config.conv_output_length(args.audio_maxlen))
 
     @jax.jit
@@ -238,6 +252,7 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
                 loader(seed=args.seed + epoch, drop_remainder=True),
                 num_batches=steps_per_epoch,
             )
+            micro = 0
             for batch in batches:
                 epoch_batches += 1
                 device_batch = multihost.host_local_batch_to_global(
@@ -245,16 +260,33 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
                      "attention_mask": batch["attention_mask"]},
                     mesh,
                 )
+                # every microbatch draws distinct mask spans (keyed by the
+                # global microbatch counter, resume-consistent)
                 mask_rng = jax.random.fold_in(
-                    jax.random.PRNGKey(args.seed + 7), step_count
+                    jax.random.PRNGKey(args.seed + 7),
+                    step_count * accum + micro,
                 )
                 device_batch["mask_time_indices"] = batch_masks(
                     mask_rng, device_batch["attention_mask"]
                 )
                 temp = gumbel_temperature(args, step_count)
-                state, metrics = step_fn(
-                    state, device_batch, rng, jnp.float32(temp)
-                )
+                if accum == 1:
+                    state, metrics = step_fn(
+                        state, device_batch, rng, jnp.float32(temp)
+                    )
+                else:
+                    if micro == 0:
+                        grads_acc, metrics_acc = init_fn(state.params)
+                    grads_acc, metrics_acc = accum_fn(
+                        state.params, device_batch, rng, state.step,
+                        jnp.int32(micro), jnp.float32(temp),
+                        grads_acc, metrics_acc,
+                    )
+                    micro += 1
+                    if micro < accum:
+                        continue  # update incomplete: keep accumulating
+                    micro = 0
+                    state, metrics = apply_fn(state, grads_acc, metrics_acc)
                 step_count += 1
                 if step_count % args.logging_steps == 0:
                     logger.log(
@@ -264,13 +296,20 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
                                 float(metrics["contrastive_loss"]),
                             "pretrain/diversity":
                                 float(metrics["diversity_loss"]),
+                            # accumulated metrics come back as sums over
+                            # the update's microbatches
                             "pretrain/perplexity":
-                                float(metrics["codevector_perplexity"]),
+                                float(metrics["codevector_perplexity"]) / accum,
                             "pretrain/gumbel_temperature": temp,
                             "epoch": epoch,
                         },
                         step=step_count,
                     )
+            if micro > 0:
+                print(
+                    f"pretrain epoch {epoch}: dropped {micro} trailing "
+                    f"microbatch(es) short of --grad_accum {accum}"
+                )
             if epoch_batches == 0:
                 raise RuntimeError(
                     "pretraining loader produced no batches — fewer samples "
@@ -316,7 +355,8 @@ def parse_args() -> PretrainingArgs:
     parser = argparse.ArgumentParser("wav2vec2 self-supervised pretraining")
     for f_name, f_def in (
         ("epochs", 1), ("warmup_steps", 32000), ("mask_time_length", 10),
-        ("batch_size_per_device", 8), ("audio_maxlen", 246000), ("seed", 0),
+        ("batch_size_per_device", 8), ("grad_accum", 1),
+        ("audio_maxlen", 246000), ("seed", 0),
         ("total_steps", 0),
         ("logging_steps", 16), ("ckpt_every_epochs", 1), ("model_axis", 1),
     ):

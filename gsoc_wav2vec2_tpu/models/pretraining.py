@@ -318,6 +318,37 @@ def ctc_params_from_pretraining(pretrain_params: dict, config, rng) -> dict:
     }
 
 
+def _make_pretrain_loss_fn(
+    config: Wav2Vec2PretrainingConfig,
+    *,
+    division_factor: float,
+    with_attention_mask: bool,
+    compute_dtype,
+    remat,
+    mesh,
+    attention_impl: str,
+):
+    """`(params, batch, rng, temperature) -> (scalar, parts)` — the
+    contrastive + diversity objective (SUM over batch / `division_factor`).
+    Shared by the fused pretrain step and the gradient-accumulation steps."""
+
+    def loss_fn(params, batch, rng, temperature):
+        rng_fwd, rng_neg = jax.random.split(rng)
+        mask = batch.get("attention_mask") if with_attention_mask else None
+        mti = batch["mask_time_indices"]
+        states, quantized, perplexity = wav2vec2_for_pretraining_forward(
+            params, config, batch["speech"], mti, mask,
+            training=True, rng=rng_fwd, gumbel_temperature=temperature,
+            compute_dtype=compute_dtype, remat=remat, mesh=mesh,
+            attention_impl=attention_impl,
+        )
+        negs = sample_negative_indices(rng_neg, mti, config.num_negatives)
+        parts = pretraining_loss(states, quantized, perplexity, mti, negs, config)
+        return parts["loss"] / division_factor, parts
+
+    return loss_fn
+
+
 def make_pretrain_step(
     config: Wav2Vec2PretrainingConfig,
     tx: optax.GradientTransformation,
@@ -339,19 +370,15 @@ def make_pretrain_step(
     (`trainer.py::make_train_step`).
     """
 
-    def loss_fn(params, batch, rng, temperature):
-        rng_fwd, rng_neg = jax.random.split(rng)
-        mask = batch.get("attention_mask") if with_attention_mask else None
-        mti = batch["mask_time_indices"]
-        states, quantized, perplexity = wav2vec2_for_pretraining_forward(
-            params, config, batch["speech"], mti, mask,
-            training=True, rng=rng_fwd, gumbel_temperature=temperature,
-            compute_dtype=compute_dtype, remat=remat, mesh=mesh,
-            attention_impl=attention_impl,
-        )
-        negs = sample_negative_indices(rng_neg, mti, config.num_negatives)
-        parts = pretraining_loss(states, quantized, perplexity, mti, negs, config)
-        return parts["loss"] / division_factor, parts
+    loss_fn = _make_pretrain_loss_fn(
+        config,
+        division_factor=division_factor,
+        with_attention_mask=with_attention_mask,
+        compute_dtype=compute_dtype,
+        remat=remat,
+        mesh=mesh,
+        attention_impl=attention_impl,
+    )
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array, temperature):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -367,3 +394,84 @@ def make_pretrain_step(
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_pretrain_accum_steps(
+    config: Wav2Vec2PretrainingConfig,
+    tx: optax.GradientTransformation,
+    *,
+    division_factor: float,
+    with_attention_mask: bool = False,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+    mesh=None,
+    attention_impl: str = "auto",
+):
+    """Gradient accumulation for pretraining: `(init_fn, accum_fn, apply_fn)`.
+
+    Same protocol as the CTC trainer's `make_grad_accum_steps`
+    (`training/trainer.py`) — the contrastive objective decomposes per
+    utterance (negatives are drawn from the SAME utterance,
+    `sample_negative_indices`), so summed microbatch gradients optimize the
+    identical objective at the effective batch size; this matters more here
+    than in fine-tuning, since wav2vec2 pretraining needs large effective
+    batches (the paper's base recipe: 64 V100s).  Unlike the CTC path the
+    update is not bit-equal to a big batch: Gumbel noise and negative draws
+    key off each microbatch's rng, so the *random draws* differ (the
+    objective's expectation does not).
+
+    Metrics: `accum_fn` sums each microbatch's loss parts;
+    `codevector_perplexity` therefore comes back as a sum over microbatches —
+    divide by the microbatch count when logging.
+    """
+    loss_fn = _make_pretrain_loss_fn(
+        config,
+        division_factor=division_factor,
+        with_attention_mask=with_attention_mask,
+        compute_dtype=compute_dtype,
+        remat=remat,
+        mesh=mesh,
+        attention_impl=attention_impl,
+    )
+
+    def init_fn(params):
+        # jitted so the zero buffers inherit the params' mesh shardings;
+        # the metrics accumulator keys mirror step_fn's metrics dict
+        zero = jnp.zeros((), jnp.float32)
+        metrics0 = {
+            "loss": zero,
+            "contrastive_loss": zero,
+            "diversity_loss": zero,
+            "codevector_perplexity": zero,
+        }
+        return jax.tree.map(jnp.zeros_like, params), metrics0
+
+    def accum_fn(params, batch, rng, step, micro_index, temperature,
+                 grads_acc, metrics_acc):
+        step_rng = jax.random.fold_in(jax.random.fold_in(rng, step), micro_index)
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, step_rng, temperature
+        )
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        metrics_acc = {
+            k: metrics_acc[k] + (loss if k == "loss" else parts[k])
+            for k in metrics_acc
+        }
+        return grads_acc, metrics_acc
+
+    def apply_fn(state: TrainState, grads_acc, metrics_acc):
+        updates, opt_state = tx.update(grads_acc, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        grad_norm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(grads_acc)
+        ))
+        metrics = {**metrics_acc, "grad_norm": grad_norm}
+        return new_state, metrics
+
+    return (
+        jax.jit(init_fn),
+        jax.jit(accum_fn, donate_argnums=(6, 7)),
+        jax.jit(apply_fn, donate_argnums=(0, 1)),
+    )
