@@ -28,6 +28,7 @@ python -m gsoc_wav2vec2_tpu.cli.train \
     --stage2_epochs "${STAGE2_EPOCHS:-15}" \
     --transition_epoch "${TRANSITION_EPOCH:-10}" \
     --batch_size_per_device "${BATCH_SIZE:-32}" \
+    --grad_accum "${GRAD_ACCUM:-1}" \
     --audio_maxlen "${AUDIO_MAXLEN:-246000}" \
     --labels_maxlen "${LABELS_MAXLEN:-256}" \
     --ckpt_dir "${CKPT_DIR:-checkpoints}" \

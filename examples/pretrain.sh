@@ -25,6 +25,7 @@ python -m gsoc_wav2vec2_tpu.cli.pretrain \
     --lr "${LR:-5e-4}" \
     --warmup_steps "${WARMUP_STEPS:-32000}" \
     --batch_size_per_device "${BATCH_SIZE:-8}" \
+    --grad_accum "${GRAD_ACCUM:-1}" \
     --audio_maxlen "${AUDIO_MAXLEN:-246000}" \
     --mask_time_prob "${MASK_TIME_PROB:-0.65}" \
     --ckpt_dir "${CKPT_DIR:-pretrain_checkpoints}" \

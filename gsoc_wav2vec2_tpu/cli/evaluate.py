@@ -77,9 +77,13 @@ def main() -> None:
              "(saved next to --lm_path if given, else used in-memory)",
     )
     parser.add_argument("--lm_order", type=int, default=4)
-    parser.add_argument("--lm_weight", type=float, default=0.5)
-    parser.add_argument("--token_bonus", type=float, default=0.0,
-                        help="per-token insertion bonus under LM fusion")
+    # None sentinels: both knobs only act inside the LM-fusion decode, so
+    # passing them without an LM is an error, not a silent no-op
+    parser.add_argument("--lm_weight", type=float, default=None,
+                        help="fusion weight (default 0.5; requires an LM)")
+    parser.add_argument("--token_bonus", type=float, default=None,
+                        help="per-token insertion bonus under LM fusion "
+                             "(requires an LM)")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--pad_to", type=int, default=246000)
     parser.add_argument("--limit", type=int, default=0, help="cap sample count")
@@ -121,9 +125,15 @@ def main() -> None:
         lm = CharNGramLM.load(args.lm_path)
     if lm is not None and args.beam_width <= 0:
         parser.error("--lm_path/--lm_fit_dir require --beam_width > 0")
+    if lm is None and (args.lm_weight is not None or args.token_bonus is not None):
+        parser.error(
+            "--lm_weight/--token_bonus only act with --lm_path/--lm_fit_dir"
+        )
     evaluator = GreedyCTCEvaluator(
         model.config, model.params, mesh=mesh, beam_width=args.beam_width,
-        lm=lm, lm_weight=args.lm_weight, token_bonus=args.token_bonus,
+        lm=lm,
+        lm_weight=0.5 if args.lm_weight is None else args.lm_weight,
+        token_bonus=0.0 if args.token_bonus is None else args.token_bonus,
     )
     # multi-host: each process reads only its corpus slice — the evaluator
     # aggregates (errors, words, n) globally, so feeding every host the

@@ -248,6 +248,7 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
         for epoch in range(start_epoch, args.epochs):
             epoch_start = time.time()
             epoch_batches = 0
+            epoch_updates = 0
             batches = multihost.lockstep_batches(
                 loader(seed=args.seed + epoch, drop_remainder=True),
                 num_batches=steps_per_epoch,
@@ -287,6 +288,7 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
                         continue  # update incomplete: keep accumulating
                     micro = 0
                     state, metrics = apply_fn(state, grads_acc, metrics_acc)
+                epoch_updates += 1
                 step_count += 1
                 if step_count % args.logging_steps == 0:
                     logger.log(
@@ -314,6 +316,13 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
                 raise RuntimeError(
                     "pretraining loader produced no batches — fewer samples "
                     "than the global batch, or no audio found"
+                )
+            if epoch_updates == 0:
+                raise RuntimeError(
+                    f"pretrain epoch {epoch}: {epoch_batches} microbatch(es) "
+                    f"never completed an optimizer update — the epoch yields "
+                    f"fewer batches than --grad_accum {accum}; reduce "
+                    "--grad_accum or the batch size"
                 )
             if (epoch + 1) % max(args.ckpt_every_epochs, 1) == 0 \
                     or epoch + 1 == args.epochs:

@@ -286,6 +286,7 @@ def run_stage(
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         epoch_start = time.time()
         epoch_batches = 0
+        epoch_updates = 0
         try:
             batches = multihost.lockstep_batches(
                 train_loader(seed=args.seed + epoch, drop_remainder=True),
@@ -312,6 +313,7 @@ def run_stage(
                         continue  # update incomplete: keep accumulating
                     micro = 0
                     state, metrics = apply_fn(state, grads_acc, loss_acc)
+                epoch_updates += 1
                 step_count += 1
                 if step_count % args.logging_steps == 0:
                     logger.log(
@@ -344,6 +346,13 @@ def run_stage(
                 f"batches (fewer samples than the global batch of "
                 f"{global_batch}, or no matched audio/transcript pairs) — "
                 "refusing to train silently on nothing"
+            )
+        if epoch_updates == 0:
+            raise RuntimeError(
+                f"stage {stage} epoch {epoch}: {epoch_batches} microbatch(es) "
+                f"never completed an optimizer update — the epoch yields "
+                f"fewer batches than --grad_accum {accum}; reduce "
+                "--grad_accum or the batch size"
             )
         if val_loader is not None:
             val_loss = evaluate_loss(config, state.params, val_loader, args, mesh)

@@ -40,8 +40,12 @@ def main() -> None:
     )
     parser.add_argument("--lm_path", type=str, default=None,
                         help="CharNGramLM JSON for shallow fusion")
-    parser.add_argument("--lm_weight", type=float, default=0.5)
-    parser.add_argument("--token_bonus", type=float, default=0.0)
+    # None sentinels: both knobs only act inside the LM-fusion decode, so
+    # passing them without an LM is an error, not a silent no-op
+    parser.add_argument("--lm_weight", type=float, default=None,
+                        help="fusion weight (default 0.5; requires --lm_path)")
+    parser.add_argument("--token_bonus", type=float, default=None,
+                        help="per-char insertion bonus (requires --lm_path)")
     args = parser.parse_args()
 
     lm = None
@@ -51,10 +55,14 @@ def main() -> None:
         from ..decoding import CharNGramLM
 
         lm = CharNGramLM.load(args.lm_path)
+    elif args.lm_weight is not None or args.token_bonus is not None:
+        parser.error("--lm_weight/--token_bonus only act with --lm_path")
     model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
     evaluator = GreedyCTCEvaluator(
         model.config, model.params, beam_width=args.beam_width,
-        lm=lm, lm_weight=args.lm_weight, token_bonus=args.token_bonus,
+        lm=lm,
+        lm_weight=0.5 if args.lm_weight is None else args.lm_weight,
+        token_bonus=0.0 if args.token_bonus is None else args.token_bonus,
     )
     processor = Wav2Vec2Processor(is_tokenizer=False)
 

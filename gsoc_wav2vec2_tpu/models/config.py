@@ -169,7 +169,15 @@ class RobustWav2Vec2Config(Wav2Vec2Config):
 @dataclass
 class RobustWav2Vec2PretrainingConfig(Wav2Vec2PretrainingConfig):
     """Pretraining at the large/XLSR geometry (24 pre-norm layers, 1024-d,
-    768-d codevectors — `facebook/wav2vec2-large`'s quantizer dims)."""
+    768-d codevectors — `facebook/wav2vec2-large`'s quantizer dims).
+
+    The geometry overrides repeat `RobustWav2Vec2Config`'s on purpose:
+    dataclass diamond inheritance cannot merge two field-override sets
+    (each decorated class snapshots its full inherited field dict, so one
+    base's overrides always clobber the other's).  A consistency test pins
+    the two classes together
+    (`tests/test_config_and_processor.py::test_robust_pretraining_geometry_matches_robust`).
+    """
 
     attention_norm_type: str = "prenorm"
     feature_extractor_norm_type: str = "layer"

@@ -460,14 +460,12 @@ def make_pretrain_accum_steps(
         return grads_acc, metrics_acc
 
     def apply_fn(state: TrainState, grads_acc, metrics_acc):
+        from ..training.trainer import global_norm
+
         updates, opt_state = tx.update(grads_acc, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
-        grad_norm = jnp.sqrt(sum(
-            jnp.sum(jnp.square(x.astype(jnp.float32)))
-            for x in jax.tree_util.tree_leaves(grads_acc)
-        ))
-        metrics = {**metrics_acc, "grad_norm": grad_norm}
+        metrics = {**metrics_acc, "grad_norm": global_norm(grads_acc)}
         return new_state, metrics
 
     return (

@@ -229,3 +229,26 @@ def test_evaluator_beam_width_end_to_end():
     # width-1 beam IS greedy-by-path up to mass ties — just assert the
     # beam decode is deterministic
     assert hb == beam.predict_batch(speech, lengths)
+
+
+def test_fusion_knobs_without_lm_are_rejected():
+    """--lm_weight/--token_bonus only act inside the LM-fusion decode; both
+    CLIs must refuse them without an LM instead of silently ignoring them
+    (the no-LM vectorized engine never applies a bonus)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.transcribe",
+            "--model_dir", "unused", "--beam_width", "4",
+            "--token_bonus", "1.0", "nofile.wav",
+        ],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert result.returncode == 2, (result.returncode, result.stderr[-500:])
+    assert "only act with --lm_path" in result.stderr

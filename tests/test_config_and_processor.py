@@ -115,3 +115,35 @@ def test_feature_extractor_normalization():
         x.var(-1, keepdims=True) + 1e-5
     )
     np.testing.assert_allclose(out, expected.squeeze(), rtol=1e-5, atol=1e-5)
+
+
+def test_robust_pretraining_geometry_matches_robust():
+    """`RobustWav2Vec2PretrainingConfig` must repeat EVERY geometry override
+    of `RobustWav2Vec2Config` verbatim (dataclass diamond inheritance cannot
+    merge the two override sets, so the repetition is deliberate — this test
+    is what keeps the two classes from silently diverging)."""
+    from dataclasses import MISSING, fields
+
+    from gsoc_wav2vec2_tpu import (
+        RobustWav2Vec2PretrainingConfig,
+        Wav2Vec2PretrainingConfig,
+    )
+
+    base = {f.name: f.default for f in fields(Wav2Vec2Config)}
+    robust = {f.name: f.default for f in fields(RobustWav2Vec2Config)}
+    robust_pre = {f.name: f.default for f in fields(RobustWav2Vec2PretrainingConfig)}
+    pre = {f.name: f.default for f in fields(Wav2Vec2PretrainingConfig)}
+
+    overridden = {
+        name for name, default in robust.items()
+        if name in base and default != base[name] and default is not MISSING
+    }
+    assert overridden  # the robust family IS a geometry override set
+    for name in overridden:
+        assert robust_pre[name] == robust[name], (
+            f"RobustWav2Vec2PretrainingConfig.{name} = {robust_pre[name]!r} "
+            f"diverged from RobustWav2Vec2Config's {robust[name]!r}"
+        )
+    # and the pretraining fields survive the robust overrides
+    assert robust_pre["mask_time_prob"] == pre["mask_time_prob"]
+    assert robust_pre["num_negatives"] == pre["num_negatives"]

@@ -187,3 +187,27 @@ def test_train_cli_resume_bit_exact(corpus, tiny_model_dir, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(leaf_a), np.asarray(flat_b[path]), err_msg=str(path)
         )
+
+
+def test_train_cli_refuses_zero_update_epochs(corpus, tiny_model_dir, tmp_path):
+    """An epoch whose batches never complete one optimizer update (fewer
+    batches than --grad_accum) must abort loudly — otherwise the driver
+    'trains' for hours, checkpoints the untouched initial params, and
+    exports an untrained model."""
+    r = _run_train(
+        [
+            "--model_id", tiny_model_dir,
+            "--train_dir", corpus,
+            "--stage1_epochs", "1", "--stage2_epochs", "0",
+            # global batch 4 = corpus size -> exactly 1 batch/epoch < accum 2
+            "--batch_size_per_device", "1", "--model_axis", "2",
+            "--grad_accum", "2",
+            "--audio_maxlen", "6000", "--labels_maxlen", "32",
+            "--compute_dtype", "float32",
+            "--ckpt_dir", str(tmp_path / "ckpts"),
+            "--log_dir", str(tmp_path / "logs"),
+        ],
+        _cli_env(),
+    )
+    assert r.returncode != 0
+    assert "never completed an optimizer update" in r.stderr
