@@ -172,6 +172,59 @@ def _bench_export(config, params):
     return timeit(call, params, speech), timeit(live, params, speech)
 
 
+ACCUM = 8  # microbatches per update: 8 x 32 = the reference's v3-8 global batch
+
+
+def _bench_grad_accum(config, params):
+    """Effective-global-batch-256 update on ONE chip via gradient
+    accumulation (`--grad_accum 8` at the stage-2 recipe shape) — the
+    reference's v3-8 recipe batch (`main.py:156`) without 8 chips."""
+    from gsoc_wav2vec2_tpu.training import (
+        TrainState,
+        create_optimizer,
+        make_grad_accum_steps,
+    )
+
+    batch = {
+        "speech": jax.random.normal(
+            jax.random.PRNGKey(11), (TRAIN_BATCH, AUDIO_LEN), jnp.float32
+        ),
+        "labels": (
+            jnp.tile(jnp.arange(1, 33, dtype=jnp.int32)[None, :], (TRAIN_BATCH, 1))
+            % 31 + 1
+        ),
+    }
+    tx = create_optimizer(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    init_fn, accum_fn, apply_fn = make_grad_accum_steps(
+        config, tx, division_factor=TRAIN_BATCH * ACCUM,
+        compute_dtype=jnp.bfloat16, remat="dots", frozen=("feature_extractor",),
+    )
+    rng = jax.random.PRNGKey(12)
+
+    def update(state):
+        grads, loss = init_fn(state.params)
+        for i in range(ACCUM):
+            grads, loss = accum_fn(
+                state.params, batch, rng, state.step, jnp.int32(i), grads, loss
+            )
+        return apply_fn(state, grads, loss)
+
+    state, m = update(state)
+    float(m["loss"])  # compile + warmup, forced by readback
+    n = 2
+    start = time.perf_counter()
+    for _ in range(n):
+        state, m = update(state)
+    float(m["loss"])
+    ms = (time.perf_counter() - start) / n * 1000
+    return ms, state.params
+
+
 ROBUST_BATCH = 8  # inference batch for the 317M family (saturates v5e)
 ROBUST_TRAIN_BATCH = 8
 
@@ -330,6 +383,11 @@ def main() -> None:
         )
     except Exception as e:
         extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        accum_ms, params = _bench_grad_accum(config, params)
+        extra["train_ms_per_update_b256_accum8"] = round(accum_ms, 1)
+    except Exception as e:
+        extra["accum_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         robust_rtf, robust_train_ms = _bench_robust()
         extra["robust_rtf_b8"] = round(robust_rtf, 1)
