@@ -28,7 +28,9 @@ TPU-native differences: everything (masking, Gumbel noise, negative
 sampling, loss) runs on device under one `jit` from explicit `jax.random`
 keys — static shapes throughout (HF samples negatives with host numpy
 loops).  The Gumbel temperature is a traced scalar so its decay schedule
-never recompiles the step.
+never recompiles the step.  The contrastive loss and the negative sampler
+use gather-light formulations measured for TPU (see `pretraining_loss`
+and `sample_negative_indices`).
 """
 
 from __future__ import annotations
@@ -112,7 +114,13 @@ def gumbel_vector_quantizer(
     one-hots in eval; perplexity always from the noise-free softmax
     (training) / the one-hots (eval) marginalised over masked frames.
 
-    Returns ((B, L, codevector_dim) codevectors, scalar perplexity).
+    Returns ((B, L, codevector_dim) codevectors, scalar perplexity,
+    (B, L, G) int32 chosen-codeword ids).  In eval mode the ids determine
+    the output bitwise (exact one-hots); in training the straight-through
+    term `(hard + soft) - soft` leaves a <=1-ulp residue, so same-id frames
+    can differ in the last bit — `pretraining_loss`'s id-based `neg_is_pos`
+    deliberately ignores that residue (it masks by *intended* codeword
+    identity, which is the semantics HF's value-equality approximates).
     """
     b, l, _ = extract_features.shape
     g, v = config.num_codevector_groups, config.num_codevectors_per_group
@@ -124,7 +132,8 @@ def gumbel_vector_quantizer(
             raise ValueError("training quantization needs a Gumbel rng")
         noise = jax.random.gumbel(rng, logits.shape, jnp.float32)
         y_soft = jax.nn.softmax((logits + noise) / temperature, axis=-1)
-        hard = jax.nn.one_hot(jnp.argmax(y_soft, axis=-1), v, dtype=jnp.float32)
+        ids = jnp.argmax(y_soft, axis=-1)
+        hard = jax.nn.one_hot(ids, v, dtype=jnp.float32)
         # straight-through: forward = hard one-hot, gradient = soft
         probs = hard + y_soft - jax.lax.stop_gradient(y_soft)
         perplexity = _perplexity(
@@ -132,7 +141,8 @@ def gumbel_vector_quantizer(
             None if mask_time_indices is None else mask_time_indices.reshape(-1),
         )
     else:
-        probs = jax.nn.one_hot(jnp.argmax(logits, axis=-1), v, dtype=jnp.float32)
+        ids = jnp.argmax(logits, axis=-1)
+        probs = jax.nn.one_hot(ids, v, dtype=jnp.float32)
         perplexity = _perplexity(
             probs,
             None if mask_time_indices is None else mask_time_indices.reshape(-1),
@@ -142,7 +152,8 @@ def gumbel_vector_quantizer(
     # (BL, G, V) x (G, V, d/G) -> (BL, G, d/G): each group picks its
     # codeword; groups concatenate along the feature axis
     quantized = jnp.einsum("ngv,gvd->ngd", probs, codebook)
-    return quantized.reshape(b, l, -1), perplexity
+    code_ids = ids.reshape(b, l, g).astype(jnp.int32)
+    return quantized.reshape(b, l, -1), perplexity, code_ids
 
 
 def wav2vec2_for_pretraining_forward(
@@ -160,11 +171,14 @@ def wav2vec2_for_pretraining_forward(
     attention_impl: str = "auto",
     mesh=None,
     use_pallas: bool = True,
+    return_code_ids: bool = False,
 ):
     """Masked-prediction forward: `transformers.Wav2Vec2ForPreTraining.forward`.
 
     Returns (projected_states (B, L, P), projected_quantized (B, L, P),
-    perplexity).  `mask_time_indices` is an input (not sampled inside) so the
+    perplexity), plus the quantizer's (B, L, G) codeword ids when
+    `return_code_ids` (the hot loss path uses them for `neg_is_pos`).
+    `mask_time_indices` is an input (not sampled inside) so the
     loss, the negative sampler and the forward all see the same mask.
     """
     next_key = _rng_stream(rng)
@@ -202,13 +216,15 @@ def wav2vec2_for_pretraining_forward(
         extract_features, config.feat_quantizer_dropout,
         next_key() if training else None, not training,
     )
-    quantized, perplexity = gumbel_vector_quantizer(
+    quantized, perplexity, code_ids = gumbel_vector_quantizer(
         params["quantizer"], config, feats, mask_time_indices,
         temperature=gumbel_temperature, training=training, rng=next_key(),
     )
     projected_quantized = dense(
         quantized, params["project_q"]
     ).astype(jnp.float32)
+    if return_code_ids:
+        return projected_states, projected_quantized, perplexity, code_ids
     return projected_states, projected_quantized, perplexity
 
 
@@ -227,27 +243,36 @@ def sample_negative_indices(
     frames get in-row index 0 (HF leaves zeros there); the loss never reads
     them (cross-entropy target is masked).
 
+    Gather-free TPU formulation: the rank->position map is a monotone-table
+    lookup (`cum[j] = #masked in [0, j]`), so position(r) = #{j : cum[j] <=
+    r} — a broadcast compare-count the VPU vectorises fully.  The obvious
+    alternatives both lose on TPU (measured at (8, 768, 100) on v5e:
+    vmapped `order[idx]` 6.3 ms, flat scalar gather 5.4 ms, argsort 1.6 ms
+    on top; compare-count 1.8 ms with no sort at all).
+
     Returns (B, L, K) int32 indices into the flattened (B*L) frame axis.
     """
     b, l = mask_time_indices.shape
+    k = num_negatives
     mask = mask_time_indices.astype(bool)
-
-    def per_row(key, mask_row, row_idx):
-        m = jnp.sum(mask_row.astype(jnp.int32))
-        # masked positions first, original order preserved (stable sort)
-        order = jnp.argsort(jnp.logical_not(mask_row), stable=True)
-        rank = jnp.cumsum(mask_row.astype(jnp.int32)) - 1  # (L,), valid on mask
-        u = jax.random.randint(
-            key, (l, num_negatives), 0, jnp.maximum(m - 1, 1)
-        )
-        shifted = u + (u >= rank[:, None])
-        shifted = jnp.clip(shifted, 0, jnp.maximum(m - 1, 0))
-        neg_pos = order[shifted]  # (L, K) positions within this row
-        neg_pos = jnp.where(mask_row[:, None], neg_pos, 0)
-        return neg_pos + row_idx * l
-
-    keys = jax.random.split(rng, b)
-    return jax.vmap(per_row)(keys, mask, jnp.arange(b)).astype(jnp.int32)
+    cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # (B, L)
+    m = cum[:, -1]  # (B,) masked count per row
+    rank = cum - 1  # rank among masked, valid on masked positions
+    u = jax.random.randint(
+        rng, (b, l, k), 0, jnp.maximum(m - 1, 1)[:, None, None]
+    )
+    shifted = u + (u >= rank[:, :, None])
+    shifted = jnp.clip(shifted, 0, jnp.maximum(m - 1, 0)[:, None, None])
+    # position of the r-th masked frame = #{j : cum[j] <= r}
+    neg_pos = jnp.sum(
+        (cum[:, None, :] <= shifted.reshape(b, l * k)[:, :, None]).astype(
+            jnp.int32
+        ),
+        axis=-1,
+    ).reshape(b, l, k)
+    neg_pos = jnp.where(mask[:, :, None], neg_pos, 0)
+    row_off = (jnp.arange(b) * l)[:, None, None]
+    return (neg_pos + row_off).astype(jnp.int32)
 
 
 def pretraining_loss(
@@ -257,41 +282,71 @@ def pretraining_loss(
     mask_time_indices: jax.Array,
     sampled_negative_indices: jax.Array,
     config: Wav2Vec2PretrainingConfig,
+    code_ids: Optional[jax.Array] = None,
 ) -> dict:
     """Contrastive + diversity objective (paper eq. 3-4; HF steps 3-8).
 
     All similarity math in float32.  Contrastive loss is the SUM over masked
     frames (HF `reduction="sum"`); callers divide by their own factor.
+
+    TPU-native formulation (measured sweep, v5e, B=8 L=768 K=100 D=256:
+    fwd 7.3->6.3 ms, fwd+bwd 19.7->17.2 isolated): keep HF's flat-index
+    row gather — contiguous D-vector copies are the one gather shape TPUs
+    do well (batched/vmapped gathers lower ~2x slower, lane-axis scalar
+    gathers worse still; a dense per-utterance Gram matmul loses to its
+    own extraction gather) — but skip HF's (K+1) concat, compute each norm
+    exactly once, test `neg_is_pos` on codeword ids instead of a 630 MB
+    vector-equality pass, and fold the positive in via `logaddexp`.
+
+    `code_ids` ((B, L, G) quantizer codeword ids, from
+    `wav2vec2_for_pretraining_forward(..., return_code_ids=True)`) enables
+    the cheap `neg_is_pos` test by codeword identity.  In eval mode that is
+    bit-identical to HF's value equality (exact one-hots, distinct codebook
+    rows); in training mode the straight-through fp residue makes HF's
+    value test miss some same-codeword pairs — the id test applies the
+    intended semantics.  Without `code_ids` the equality falls back to
+    gathered-vector comparison (HF-exact in both modes).
     """
     b, l, d = projected_quantized.shape
     k = sampled_negative_indices.shape[-1]
-    flat_q = projected_quantized.reshape(b * l, d)
-    negatives = flat_q[sampled_negative_indices.reshape(-1)]
-    negatives = negatives.reshape(b, l, k, d).transpose(2, 0, 1, 3)  # (K,B,L,D)
+    pred = projected_states.astype(jnp.float32)
+    q = projected_quantized.astype(jnp.float32)
+    flat_idx = sampled_negative_indices.reshape(-1)
+    negatives = (
+        q.reshape(b * l, d)[flat_idx].reshape(b, l, k, d).transpose(2, 0, 1, 3)
+    )  # (K, B, L, D)
 
-    targets = jnp.concatenate(
-        [projected_quantized[None], negatives], axis=0
-    )  # (K+1, B, L, D)
-    pred = projected_states[None].astype(jnp.float32)
-    tgt = targets.astype(jnp.float32)
     # torch.cosine_similarity clamps each norm at eps=1e-8
-    num = jnp.sum(pred * tgt, axis=-1)
-    denom = jnp.maximum(
-        jnp.linalg.norm(pred, axis=-1), 1e-8
-    ) * jnp.maximum(jnp.linalg.norm(tgt, axis=-1), 1e-8)
-    logits = (num / denom) / config.contrastive_logits_temperature  # (K+1,B,L)
+    pred_norm = jnp.maximum(jnp.linalg.norm(pred, axis=-1), 1e-8)  # (B, L)
+    q_norm = jnp.maximum(jnp.linalg.norm(q, axis=-1), 1e-8)  # (B, L)
+    neg_norm = jnp.maximum(jnp.linalg.norm(negatives, axis=-1), 1e-8)
+    inv_temp = 1.0 / config.contrastive_logits_temperature
+    logit_pos = (
+        jnp.sum(pred * q, axis=-1) / (pred_norm * q_norm)
+    ) * inv_temp  # (B, L)
+    logit_neg = (
+        jnp.sum(pred[None] * negatives, axis=-1)
+        / (pred_norm[None] * neg_norm)
+    ) * inv_temp  # (K, B, L)
 
     # distractors that ARE the target cannot count as negatives
-    neg_is_pos = jnp.all(
-        projected_quantized[None] == negatives, axis=-1
-    )  # (K, B, L)
-    logits = logits.at[1:].set(
-        jnp.where(neg_is_pos, -jnp.inf, logits[1:])
-    )
+    if code_ids is not None:
+        g = code_ids.shape[-1]
+        ids_neg = (
+            code_ids.reshape(b * l, g)[flat_idx]
+            .reshape(b, l, k, g)
+            .transpose(2, 0, 1, 3)
+        )  # (K, B, L, G)
+        neg_is_pos = jnp.all(ids_neg == code_ids[None], axis=-1)  # (K, B, L)
+    else:
+        neg_is_pos = jnp.all(q[None] == negatives, axis=-1)
+    logit_neg = jnp.where(neg_is_pos, -jnp.inf, logit_neg)
 
     mask = mask_time_indices.astype(jnp.float32)  # (B, L)
-    log_z = jax.nn.logsumexp(logits, axis=0)  # (B, L)
-    contrastive = jnp.sum((log_z - logits[0]) * mask)
+    # logsumexp over {positive} ∪ negatives; all-(-inf) negative rows are
+    # fine (logaddexp(-inf, x) == x -> zero contribution)
+    log_z = jnp.logaddexp(jax.nn.logsumexp(logit_neg, axis=0), logit_pos)
+    contrastive = jnp.sum((log_z - logit_pos) * mask)
 
     gv = float(config.num_codevectors)
     diversity = ((gv - perplexity) / gv) * jnp.sum(mask)
@@ -336,14 +391,19 @@ def _make_pretrain_loss_fn(
         rng_fwd, rng_neg = jax.random.split(rng)
         mask = batch.get("attention_mask") if with_attention_mask else None
         mti = batch["mask_time_indices"]
-        states, quantized, perplexity = wav2vec2_for_pretraining_forward(
-            params, config, batch["speech"], mti, mask,
-            training=True, rng=rng_fwd, gumbel_temperature=temperature,
-            compute_dtype=compute_dtype, remat=remat, mesh=mesh,
-            attention_impl=attention_impl,
+        states, quantized, perplexity, code_ids = (
+            wav2vec2_for_pretraining_forward(
+                params, config, batch["speech"], mti, mask,
+                training=True, rng=rng_fwd, gumbel_temperature=temperature,
+                compute_dtype=compute_dtype, remat=remat, mesh=mesh,
+                attention_impl=attention_impl, return_code_ids=True,
+            )
         )
         negs = sample_negative_indices(rng_neg, mti, config.num_negatives)
-        parts = pretraining_loss(states, quantized, perplexity, mti, negs, config)
+        parts = pretraining_loss(
+            states, quantized, perplexity, mti, negs, config,
+            code_ids=code_ids,
+        )
         return parts["loss"] / division_factor, parts
 
     return loss_fn

@@ -105,6 +105,22 @@ def test_pretraining_forward_and_loss_match_hf_oracle(robust):
         float(parts["loss"]), float(out.loss), rtol=2e-4
     )
 
+    # the hot path's id-based neg_is_pos must agree exactly with the
+    # vector-equality fallback (tiny codebook -> id collisions are common
+    # here, so this genuinely exercises the -inf masking)
+    *_, code_ids = wav2vec2_for_pretraining_forward(
+        params, config, jnp.asarray(speech), jnp.asarray(mask),
+        training=False, compute_dtype=jnp.float32, return_code_ids=True,
+    )
+    parts_ids = pretraining_loss(
+        states, quantized, perplexity, jnp.asarray(mask), jnp.asarray(negs),
+        config, code_ids=code_ids,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(parts_ids["contrastive_loss"]),
+        np.asarray(parts["contrastive_loss"]),
+    )
+
 
 def test_sample_negative_indices_properties():
     """Device sampler: every negative of a masked frame points at ANOTHER
@@ -145,7 +161,7 @@ def test_gumbel_straight_through_gradients():
     )
 
     def f(p):
-        q, _ = gumbel_vector_quantizer(
+        q, _, _ = gumbel_vector_quantizer(
             p, config, feats, None, temperature=2.0, training=True,
             rng=jax.random.PRNGKey(7),
         )
@@ -156,7 +172,7 @@ def test_gumbel_straight_through_gradients():
     assert float(jnp.abs(grads["codevectors"]).sum()) > 0
 
     # hard forward: each group output must equal SOME codevector exactly
-    q, _ = gumbel_vector_quantizer(
+    q, _, ids = gumbel_vector_quantizer(
         params, config, feats, None, temperature=2.0, training=True,
         rng=jax.random.PRNGKey(7),
     )
@@ -164,9 +180,15 @@ def test_gumbel_straight_through_gradients():
     d_g = config.codevector_dim // g
     qg = np.asarray(q).reshape(-1, g, d_g)
     cb = np.asarray(params["codevectors"]).reshape(g, -1, d_g)
+    ids_flat = np.asarray(ids).reshape(-1, g)
     for gi in range(g):
         dists = np.abs(qg[:, gi, None, :] - cb[None, gi]).max(-1).min(-1)
         assert dists.max() < 1e-5
+        # the returned ids name the codevector each output matches (up to
+        # the straight-through term's fp residue, (hard + soft) - soft)
+        np.testing.assert_allclose(
+            cb[gi, ids_flat[:, gi]], qg[:, gi], atol=1e-5
+        )
 
 
 def test_pretrain_cli_end_to_end(tmp_path):
