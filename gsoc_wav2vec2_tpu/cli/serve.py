@@ -1,0 +1,341 @@
+"""CLI: HTTP transcription server with dynamic batching.
+
+Production-serving surface BEYOND the reference: the reference's serving
+story ends at artifact export (`/root/reference/src/export2hub.py`,
+`notebooks/wav2vec2_onnx.ipynb` — a SavedModel/ONNX file the user must host
+themselves).  This daemon serves the model directly on TPU with the
+batching discipline the hardware wants:
+
+  * a handful of **bucketed compiled shapes** (one `(max_batch, bucket)`
+    program per bucket, compiled at startup) — no per-request recompiles,
+    bounded padding waste;
+  * **dynamic batching**: concurrent requests landing within
+    `--batch_window_ms` of each other ride one device dispatch (the chip is
+    batch-throughput-bound: B=16 costs barely more than B=1 per row);
+  * audio longer than the largest bucket falls back to overlapping-window
+    long-form transcription (`evaluation.transcribe_long` — the reference
+    truncates long audio);
+  * greedy or prefix-beam decoding with optional char n-gram LM fusion
+    (`--beam_width`/`--lm_path`, as on `cli.transcribe`).
+
+Protocol (JSON over HTTP, stdlib-only so it runs anywhere the framework
+does):
+
+  POST /v1/transcribe
+      body audio/wav | audio/flac | application/octet-stream (sniffed) |
+      application/json {"audio": [float...], "sample_rate": 16000}
+      -> {"transcription": str, "audio_seconds": float, "latency_ms": float,
+          "batched_with": int}
+  GET /healthz
+      -> {"status": "ok", "model": ..., "requests": N, ...}
+
+Usage:
+    python -m gsoc_wav2vec2_tpu.cli.serve --model_dir <dir> --port 8057
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..data.native_io import decode_flac_bytes, decode_wav_bytes
+from ..data.processor import Wav2Vec2Processor
+from ..evaluation import GreedyCTCEvaluator
+from ..models.modeling import Wav2Vec2ForCTC
+
+DEFAULT_BUCKETS = (32000, 64000, 123000, 246000)
+
+
+class _Request:
+    """One queued utterance: normalised audio plus a completion event."""
+
+    __slots__ = ("audio", "done", "text", "error", "batched_with", "enqueued")
+
+    def __init__(self, audio: np.ndarray):
+        self.audio = audio
+        self.done = threading.Event()
+        self.text: str | None = None
+        self.error: str | None = None
+        self.batched_with = 0
+        self.enqueued = time.perf_counter()
+
+
+class DynamicBatcher:
+    """Groups concurrent requests into bucketed device batches.
+
+    One worker thread owns the device: it blocks for the first pending
+    request, gathers everything else that arrives within `window_ms` (up to
+    `max_batch` per bucket), pads each bucket-group to the bucket's
+    compiled `(max_batch, bucket)` shape, and runs them as single
+    dispatches.  Requests longer than the largest bucket are served
+    individually through the long-form chunked path.
+    """
+
+    def __init__(
+        self,
+        evaluator: GreedyCTCEvaluator,
+        buckets=DEFAULT_BUCKETS,
+        max_batch: int = 8,
+        window_ms: float = 20.0,
+    ):
+        self.evaluator = evaluator
+        self.buckets = sorted(buckets)
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._pending: list[_Request] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+
+    # -- public -----------------------------------------------------------
+
+    def start(self) -> None:
+        self._worker.start()
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._worker.join(timeout=30)
+
+    def warmup(self) -> None:
+        """Compile every bucket shape once so first requests are not 40 s."""
+        for bucket in self.buckets:
+            speech = np.zeros((self.max_batch, bucket), np.float32)
+            lengths = np.full((self.max_batch,), bucket, np.int64)
+            self.evaluator.predict_batch(speech, lengths)
+
+    def submit(self, audio: np.ndarray) -> _Request:
+        req = _Request(audio)
+        with self._cv:
+            self._pending.append(req)
+            self._cv.notify()
+        return req
+
+    # -- worker -----------------------------------------------------------
+
+    def _take_batch(self) -> list[_Request]:
+        with self._cv:
+            while not self._pending and not self._stop:
+                self._cv.wait()
+            if self._stop and not self._pending:
+                return []
+            deadline = time.perf_counter() + self.window_s
+            while (
+                len(self._pending) < self.max_batch
+                and not self._stop
+                and (remaining := deadline - time.perf_counter()) > 0
+            ):
+                self._cv.wait(timeout=remaining)
+            taken = self._pending[: self.max_batch]
+            del self._pending[: len(taken)]
+            return taken
+
+    def _bucket_for(self, n: int):
+        return next((b for b in self.buckets if n <= b), None)
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return
+            groups: dict[int, list[_Request]] = {}
+            longform: list[_Request] = []
+            for req in batch:
+                bucket = self._bucket_for(len(req.audio))
+                if bucket is None:
+                    longform.append(req)
+                else:
+                    groups.setdefault(bucket, []).append(req)
+            for bucket, reqs in groups.items():
+                try:
+                    speech = np.zeros((self.max_batch, bucket), np.float32)
+                    lengths = np.zeros((self.max_batch,), np.int64)
+                    for i, req in enumerate(reqs):
+                        speech[i, : len(req.audio)] = req.audio
+                        lengths[i] = len(req.audio)
+                    texts = self.evaluator.predict_batch(speech, lengths)
+                    for i, req in enumerate(reqs):
+                        req.text = texts[i]
+                        req.batched_with = len(reqs)
+                except Exception as e:  # noqa: BLE001 — surface to the client
+                    for req in reqs:
+                        req.error = f"{type(e).__name__}: {e}"
+                finally:
+                    for req in reqs:
+                        req.done.set()
+            for req in longform:
+                try:
+                    req.text = self.evaluator.transcribe_long(req.audio)
+                    req.batched_with = 1
+                except Exception as e:  # noqa: BLE001
+                    req.error = f"{type(e).__name__}: {e}"
+                finally:
+                    req.done.set()
+
+
+def _parse_audio(body: bytes, content_type: str) -> np.ndarray:
+    """Raw request body -> float32 waveform (sniffs WAV/FLAC magic)."""
+    if content_type.startswith("application/json"):
+        payload = json.loads(body)
+        if "audio" not in payload:
+            raise ValueError('JSON body needs an "audio" array')
+        rate = int(payload.get("sample_rate", 16000))
+        if rate != 16000:
+            raise ValueError(f"sample_rate {rate} != 16000")
+        return np.asarray(payload["audio"], np.float32)
+    if body[:4] == b"RIFF":
+        audio, rate = decode_wav_bytes(body, "<request>")
+    elif body[:4] == b"fLaC":
+        audio, rate = decode_flac_bytes(body, "<request>")
+    else:
+        raise ValueError(
+            "unrecognised audio payload (want WAV, FLAC, or JSON)"
+        )
+    if rate != 16000:
+        raise ValueError(f"sample rate {rate} != 16000")
+    return np.asarray(audio, np.float32)
+
+
+def make_handler(batcher: DynamicBatcher, processor, stats: dict):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args) -> None:  # quiet access log
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 — http.server contract
+            if self.path not in ("/healthz", "/"):
+                self._reply(404, {"error": "not found"})
+                return
+            self._reply(200, {"status": "ok", **stats})
+
+        def do_POST(self) -> None:  # noqa: N802
+            if self.path != "/v1/transcribe":
+                self._reply(404, {"error": "not found"})
+                return
+            start = time.perf_counter()
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                audio = _parse_audio(
+                    body, self.headers.get("Content-Type", "")
+                )
+                if audio.ndim != 1 or len(audio) == 0:
+                    raise ValueError("audio must be a non-empty 1-D waveform")
+                speech = np.asarray(processor(audio), np.float32)
+            except (ValueError, OSError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            req = batcher.submit(speech)
+            req.done.wait()
+            if req.error is not None:
+                self._reply(500, {"error": req.error})
+                return
+            stats["requests"] += 1
+            self._reply(
+                200,
+                {
+                    "transcription": req.text,
+                    "audio_seconds": round(len(audio) / 16000.0, 3),
+                    "latency_ms": round(
+                        (time.perf_counter() - start) * 1000.0, 2
+                    ),
+                    "batched_with": req.batched_with,
+                },
+            )
+
+    return Handler
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser("wav2vec2 transcription server")
+    parser.add_argument("--model_dir", required=True, type=str)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8057)
+    parser.add_argument(
+        "--buckets", type=str, default=",".join(map(str, DEFAULT_BUCKETS)),
+        help="comma-separated sample-length buckets (one compiled shape each)",
+    )
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument(
+        "--batch_window_ms", type=float, default=20.0,
+        help="how long the batcher waits to co-schedule concurrent requests",
+    )
+    parser.add_argument("--beam_width", type=int, default=0)
+    parser.add_argument("--lm_path", type=str, default=None)
+    parser.add_argument("--lm_weight", type=float, default=0.5)
+    parser.add_argument("--token_bonus", type=float, default=0.0)
+    parser.add_argument(
+        "--no_warmup", action="store_true",
+        help="skip startup compilation of the bucket shapes",
+    )
+    args = parser.parse_args()
+
+    lm = None
+    if args.lm_path:
+        if args.beam_width <= 0:
+            parser.error("--lm_path requires --beam_width > 0")
+        from ..decoding import CharNGramLM
+
+        lm = CharNGramLM.load(args.lm_path)
+
+    model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
+    evaluator = GreedyCTCEvaluator(
+        model.config, model.params, beam_width=args.beam_width, lm=lm,
+        lm_weight=args.lm_weight, token_bonus=args.token_bonus,
+    )
+    buckets = [int(b) for b in args.buckets.split(",") if b]
+    batcher = DynamicBatcher(
+        evaluator, buckets=buckets, max_batch=args.max_batch,
+        window_ms=args.batch_window_ms,
+    )
+    if not args.no_warmup:
+        print(f"warming up {len(buckets)} bucket shapes...", flush=True)
+        batcher.warmup()
+    batcher.start()
+
+    stats = {
+        "model": args.model_dir,
+        "buckets": buckets,
+        "max_batch": args.max_batch,
+        "beam_width": args.beam_width,
+        "requests": 0,
+    }
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(batcher, Wav2Vec2Processor(is_tokenizer=False), stats),
+    )
+
+    def shutdown(signum, frame):  # noqa: ARG001
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, shutdown)
+    signal.signal(signal.SIGINT, shutdown)
+    print(f"serving on http://{args.host}:{server.server_address[1]}",
+          flush=True)
+    try:
+        server.serve_forever()
+    finally:
+        batcher.stop()
+        server.server_close()
+        print("server stopped", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""HTTP serving daemon (`cli/serve.py`): dynamic batching, bucketed
+shapes, WAV/FLAC/JSON payloads, long-form fallback, error paths.
+
+The server runs as a real subprocess serving on an ephemeral port; clients
+use stdlib urllib.  Content assertions compare the server against ITSELF
+(batched == solo, wav payload == quantised-json payload, repeat ==
+repeat): greedy decode is deterministic within one compiled program, but
+near-tie argmaxes on a random-weight model can flip across processes
+compiled under different XLA flags (the test process runs with 8 virtual
+devices, the server with 1), so cross-process string equality would be
+flaky by construction.  Model correctness itself is covered by the parity
+suite."""
+
+import io
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
+
+TINY = dict(
+    hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+    filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+)
+BUCKETS = "4000,8000"
+MAX_BATCH = 4
+
+
+def _wav_bytes(audio_f32: np.ndarray, rate: int = 16000) -> bytes:
+    pcm = np.clip(audio_f32 * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _post(url, body, content_type, timeout=60):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": content_type}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    model_dir = str(tmp / "model")
+    model = Wav2Vec2ForCTC(
+        Wav2Vec2Config(**TINY, dropout=0.0, apply_spec_augment=False,
+                       survival_prob=1.0),
+        seed=0,
+    )
+    model.save_pretrained(model_dir)
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.serve",
+            "--model_dir", model_dir, "--port", "0",
+            "--buckets", BUCKETS, "--max_batch", str(MAX_BATCH),
+            "--batch_window_ms", "300",
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd="/root/repo",
+    )
+    base = None
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line and proc.poll() is not None:
+            raise RuntimeError(f"server died: {proc.stderr.read()[-3000:]}")
+        if line.startswith("serving on "):
+            base = line.split("serving on ", 1)[1].strip()
+            break
+    assert base, "server never reported its address"
+    # healthz must answer once serving
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+    assert health["buckets"] == [4000, 8000]
+
+    yield {"base": base, "model": model}
+
+    proc.send_signal(signal.SIGTERM)
+    try:
+        proc.wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait(timeout=30)
+
+
+def _transcribe_json(base: str, audio: np.ndarray):
+    return _post(
+        base + "/v1/transcribe",
+        json.dumps({"audio": np.asarray(audio, np.float32).tolist()}).encode(),
+        "application/json",
+    )
+
+
+def test_json_transcribe_deterministic(server):
+    rng = np.random.default_rng(0)
+    audio = np.sin(np.arange(3000) / 4.0).astype(np.float32) + 0.01 * (
+        rng.standard_normal(3000).astype(np.float32)
+    )
+    status, out = _transcribe_json(server["base"], audio)
+    assert status == 200, out
+    assert isinstance(out["transcription"], str)
+    assert out["audio_seconds"] == pytest.approx(3000 / 16000, abs=1e-3)
+    status2, out2 = _transcribe_json(server["base"], audio)
+    assert status2 == 200 and out2["transcription"] == out["transcription"]
+
+
+def test_wav_payload_matches_quantised_json(server):
+    audio = np.sin(np.arange(5000) / 9.0).astype(np.float32) * 0.5
+    status, out = _post(
+        server["base"] + "/v1/transcribe", _wav_bytes(audio), "audio/wav"
+    )
+    assert status == 200, out
+    # the WAV leg int16-quantises the waveform; the same quantised floats
+    # through the JSON leg must transcribe identically (payload decoding
+    # is the only difference)
+    quantised = (
+        np.clip(audio * 32767.0, -32768, 32767).astype(np.int16) / 32768.0
+    ).astype(np.float32)
+    status2, out2 = _transcribe_json(server["base"], quantised)
+    assert status2 == 200
+    assert out["transcription"] == out2["transcription"]
+
+
+def test_concurrent_requests_share_a_batch(server):
+    rng = np.random.default_rng(1)
+    audios = [
+        (np.sin(np.arange(3500) / (3.0 + i))
+         + 0.02 * rng.standard_normal(3500)).astype(np.float32)
+        for i in range(MAX_BATCH)
+    ]
+    # solo answers first (sequential requests rarely co-batch, and equality
+    # below doesn't depend on whether they did)
+    solo = []
+    for audio in audios:
+        status, out = _transcribe_json(server["base"], audio)
+        assert status == 200, out
+        solo.append(out["transcription"])
+
+    results = [None] * MAX_BATCH
+
+    def worker(i):
+        results[i] = _transcribe_json(server["base"], audios[i])
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(MAX_BATCH)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, (status, out) in enumerate(results):
+        assert status == 200, out
+        # co-batched result must equal the solo result: batching is a
+        # scheduling decision, never a semantic one
+        assert out["transcription"] == solo[i]
+    # with a 300 ms batching window and simultaneous submission, at least
+    # one dispatch must have carried multiple requests
+    assert max(out["batched_with"] for _, out in results) >= 2
+
+
+def test_long_audio_uses_longform_path(server):
+    audio = (np.sin(np.arange(20000) / 5.0) * 0.3).astype(np.float32)
+    status, out = _post(
+        server["base"] + "/v1/transcribe",
+        json.dumps({"audio": audio.tolist()}).encode(),
+        "application/json",
+    )
+    assert status == 200, out
+    assert isinstance(out["transcription"], str)
+    assert out["batched_with"] == 1  # served individually
+
+
+def test_error_paths(server):
+    base = server["base"]
+    status, out = _post(base + "/v1/transcribe", b"\x00garbage\x01", "")
+    assert status == 400 and "unrecognised" in out["error"]
+    status, out = _post(
+        base + "/v1/transcribe",
+        json.dumps({"audio": [0.0], "sample_rate": 8000}).encode(),
+        "application/json",
+    )
+    assert status == 400 and "sample_rate" in out["error"]
+    status, out = _post(
+        base + "/v1/transcribe", json.dumps({"nope": 1}).encode(),
+        "application/json",
+    )
+    assert status == 400
+    status, out = _post(base + "/v1/other", b"{}", "application/json")
+    assert status == 404
+    # health endpoint counts completed requests (self-contained: do one
+    # successful request and watch the counter move)
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        before = json.loads(resp.read())["requests"]
+    status, _ = _post(
+        base + "/v1/transcribe",
+        json.dumps({"audio": [0.1] * 600}).encode(),
+        "application/json",
+    )
+    assert status == 200
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        after = json.loads(resp.read())["requests"]
+    assert after >= before + 1
