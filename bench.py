@@ -307,13 +307,18 @@ def _bench_robust():
 PRETRAIN_BATCH = 8
 
 
-def _bench_pretrain_step():
-    """Self-supervised pretraining step at the base geometry (B=8 x 246k,
-    bf16, remat-dots): the objective the reference's checkpoints were
-    trained with, now a measured TPU capability (`models/pretraining.py`)."""
+def _bench_pretrain_step(robust: bool = False):
+    """Self-supervised pretraining step (B=8 x 246k, bf16, remat-dots): the
+    objective the reference's checkpoints were trained with, now a measured
+    TPU capability (`models/pretraining.py`).  `robust=True` runs the
+    large/XLSR pretraining geometry (24 pre-norm layers, masked attention)
+    so both families carry training evidence."""
     import optax
 
-    from gsoc_wav2vec2_tpu import Wav2Vec2PretrainingConfig
+    from gsoc_wav2vec2_tpu import (
+        RobustWav2Vec2PretrainingConfig,
+        Wav2Vec2PretrainingConfig,
+    )
     from gsoc_wav2vec2_tpu.models.pretraining import (
         init_wav2vec2_for_pretraining_params,
         make_pretrain_step,
@@ -321,7 +326,10 @@ def _bench_pretrain_step():
     from gsoc_wav2vec2_tpu.ops.specaugment import compute_mask_indices
     from gsoc_wav2vec2_tpu.training import TrainState
 
-    config = Wav2Vec2PretrainingConfig()
+    config = (
+        RobustWav2Vec2PretrainingConfig() if robust
+        else Wav2Vec2PretrainingConfig()
+    )
     params = init_wav2vec2_for_pretraining_params(jax.random.PRNGKey(0), config)
     frames = int(config.conv_output_length(AUDIO_LEN))
     batch = {
@@ -333,6 +341,10 @@ def _bench_pretrain_step():
             config.mask_time_prob, config.mask_time_length,
         ),
     }
+    if robust:
+        batch["attention_mask"] = jnp.ones(
+            (PRETRAIN_BATCH, AUDIO_LEN), jnp.float32
+        )
     tx = optax.adamw(1e-4)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -341,6 +353,7 @@ def _bench_pretrain_step():
     )
     step = make_pretrain_step(
         config, tx, division_factor=PRETRAIN_BATCH,
+        with_attention_mask=robust,
         compute_dtype=jnp.bfloat16, remat="dots",
     )
     rng = jax.random.PRNGKey(10)
@@ -397,6 +410,9 @@ def main() -> None:
     try:
         extra["pretrain_ms_per_step_b8_246k_remat"] = round(
             _bench_pretrain_step(), 1
+        )
+        extra["pretrain_robust_ms_per_step_b8_246k_remat"] = round(
+            _bench_pretrain_step(robust=True), 1
         )
     except Exception as e:
         extra["pretrain_error"] = f"{type(e).__name__}: {e}"[:200]

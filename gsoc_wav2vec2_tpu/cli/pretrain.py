@@ -27,6 +27,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..data.loaders import LibriSpeechDataLoader, LibriSpeechDataLoaderArgs
@@ -41,6 +42,12 @@ from ..ops.specaugment import compute_mask_indices
 from ..parallel import make_mesh, multihost, replicated, shard_params
 from ..training import CheckpointManager, TrainState
 from ..utils.logging import MetricLogger
+from .train import (
+    _CKPT_STRIDE,
+    PreemptExit,
+    _preempt_consensus,
+    install_preempt_handler,
+)
 
 
 @dataclass
@@ -74,6 +81,8 @@ class PretrainingArgs:
     seed: int = 0
     logging_steps: int = 16
     ckpt_every_epochs: int = 1
+    # multi-host preemption-flag consensus cadence (see cli.train)
+    preempt_sync_updates: int = 25
 
     model_axis: int = 1
     compute_dtype: str = "bfloat16"
@@ -186,10 +195,25 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
 
     params = shard_params(params, mesh)
     repl = replicated(mesh)
+    # pin every optimizer leaf that is not already mesh-wide (scalar step
+    # counters etc. come out of init committed to one device) — same
+    # treatment as cli.train's run_stage, and required for the same reason:
+    # the jitted step must see one consistent device set, and Orbax restore
+    # commits to exactly these shardings
+    mesh_devices = set(np.asarray(mesh.devices).flat)
+
+    def _mesh_wide(x):
+        s = getattr(x, "sharding", None)
+        if s is not None and getattr(s, "device_set", None) == mesh_devices:
+            return x
+        if hasattr(x, "shape"):
+            return jax.device_put(x, repl)
+        return x
+
     state = TrainState(
         step=jax.device_put(jnp.zeros((), jnp.int32), repl),
         params=params,
-        opt_state=jax.jit(tx.init)(params),
+        opt_state=jax.tree.map(_mesh_wide, jax.jit(tx.init)(params)),
     )
     if args.resume is not None:
         # continue inside the previous run's checkpoint dir (same contract
@@ -197,6 +221,7 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
         args.ckpt_dir = args.resume
     ckpt = CheckpointManager(os.path.join(args.ckpt_dir, "pretrain"))
     start_epoch = 0
+    skip_updates = 0
     if args.resume is not None:
         last = ckpt.latest_step()
         if last is None:
@@ -206,8 +231,10 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
                 "silently restart from scratch"
             )
         state = ckpt.restore(state)
-        start_epoch = int(last)
-        print(f"pretrain: resumed epoch {start_epoch} from {args.resume}")
+        start_epoch = int(last) // _CKPT_STRIDE
+        skip_updates = int(last) % _CKPT_STRIDE
+        at = f" (+{skip_updates} updates)" if skip_updates else ""
+        print(f"pretrain: resumed epoch {start_epoch}{at} from {args.resume}")
 
     step_kwargs = dict(
         division_factor=global_batch * accum,  # SUM over the effective batch
@@ -244,11 +271,15 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
     logger = MetricLogger(args.log_dir, project=args.wandb_project,
                           config=asdict(args))
     step_count = int(jax.device_get(state.step))
+    install_preempt_handler()  # SIGTERM -> mid-epoch checkpoint + clean exit
     try:
         for epoch in range(start_epoch, args.epochs):
             epoch_start = time.time()
             epoch_batches = 0
-            epoch_updates = 0
+            # mid-epoch resume: fast-forward the seeded stream past the
+            # updates completed before the preemption (see cli.train)
+            skip_micro = skip_updates * accum if epoch == start_epoch else 0
+            epoch_updates = skip_updates if epoch == start_epoch else 0
             batches = multihost.lockstep_batches(
                 loader(seed=args.seed + epoch, drop_remainder=True),
                 num_batches=steps_per_epoch,
@@ -256,6 +287,9 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
             micro = 0
             for batch in batches:
                 epoch_batches += 1
+                if skip_micro > 0:
+                    skip_micro -= 1
+                    continue
                 device_batch = multihost.host_local_batch_to_global(
                     {"speech": batch["speech"],
                      "attention_mask": batch["attention_mask"]},
@@ -307,6 +341,19 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
                         },
                         step=step_count,
                     )
+                if _preempt_consensus(
+                    epoch_updates, args.preempt_sync_updates
+                ):
+                    key = epoch * _CKPT_STRIDE + epoch_updates
+                    ckpt.save(key, state, wait=True)
+                    ckpt.close()
+                    print(
+                        f"pretrain: preempted — saved epoch {epoch} update "
+                        f"{epoch_updates} (key {key}); resume with --resume "
+                        f"to continue bit-exactly",
+                        flush=True,
+                    )
+                    raise PreemptExit
             if micro > 0:
                 print(
                     f"pretrain epoch {epoch}: dropped {micro} trailing "
@@ -326,7 +373,7 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
                 )
             if (epoch + 1) % max(args.ckpt_every_epochs, 1) == 0 \
                     or epoch + 1 == args.epochs:
-                ckpt.save(epoch + 1, state)
+                ckpt.save((epoch + 1) * _CKPT_STRIDE, state)
             logger.log(
                 {"pretrain/epoch_time": time.time() - epoch_start,
                  "epoch": epoch},
@@ -334,6 +381,10 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
             )
     except KeyboardInterrupt:
         print("pretraining interrupted — saving progress")
+    except PreemptExit:
+        print("preempted: checkpoint saved; rerun with --resume", flush=True)
+        logger.finish()
+        return
     ckpt.wait_until_finished()
     ckpt.close()
 
@@ -368,6 +419,7 @@ def parse_args() -> PretrainingArgs:
         ("audio_maxlen", 246000), ("seed", 0),
         ("total_steps", 0),
         ("logging_steps", 16), ("ckpt_every_epochs", 1), ("model_axis", 1),
+        ("preempt_sync_updates", 25),
     ):
         parser.add_argument(f"--{f_name}", type=int, default=f_def)
     for f_name, f_def in (

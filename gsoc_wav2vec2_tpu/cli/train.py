@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import time
 from dataclasses import asdict, dataclass, field
 from typing import List, Optional
@@ -76,6 +77,10 @@ class TrainingArgs:
     # checkpoint cadence in epochs (reference: every epoch,
     # `training_utils.py:38-45`); the final epoch always checkpoints
     ckpt_every_epochs: int = 1
+    # multi-host preemption-flag consensus cadence, in optimizer updates
+    # (single-host checks every update with zero collectives; see
+    # `_preempt_consensus`)
+    preempt_sync_updates: int = 25
 
     model_id: Optional[str] = None  # from_pretrained source; None = random init
     model_axis: int = 1
@@ -137,6 +142,52 @@ class TrainingArgs:
 
 def _global_batch(args: TrainingArgs) -> int:
     return args.batch_size_per_device * max(jax.device_count() // args.model_axis, 1)
+
+
+# --- preemption-safe checkpointing ---------------------------------------
+#
+# Checkpoint keys encode (completed epochs, completed updates within the
+# running epoch) as `epochs * _CKPT_STRIDE + updates`, so a SIGTERM (the
+# TPU-preemption signal) can save MID-epoch and `--resume` can fast-forward
+# the seeded batch stream to the exact update boundary — the resumed
+# trajectory is bit-identical to an uninterrupted run (the step rng keys off
+# the restored `state.step`, the loader off `seed + epoch`).  The reference
+# loses everything since its last epoch boundary (`training_utils.py:38-45`).
+
+_CKPT_STRIDE = 1_000_000
+
+_PREEMPT_REQUESTED = False
+
+
+def _on_sigterm(signum, frame):  # noqa: ARG001
+    global _PREEMPT_REQUESTED
+    _PREEMPT_REQUESTED = True
+
+
+def install_preempt_handler() -> None:
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
+
+class PreemptExit(Exception):
+    """Raised after a preemption checkpoint; aborts remaining stages."""
+
+
+def _preempt_consensus(update_idx: int, sync_every: int) -> bool:
+    """Do all hosts agree to stop now?  Single-process: the local flag,
+    checked every update.  Multi-process: hosts must checkpoint at the SAME
+    update, so the flag is allgathered at a fixed cadence (every
+    `sync_every` updates — between sync points training continues, keeping
+    the common path free of per-step host collectives)."""
+    if jax.process_count() == 1:
+        return _PREEMPT_REQUESTED
+    if update_idx % max(sync_every, 1) != 0:
+        return False
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray(1 if _PREEMPT_REQUESTED else 0)
+    )
+    return int(np.max(flags)) > 0
 
 
 def _loader(args: TrainingArgs, tfrecords, data_dir, drop_remainder=True):
@@ -238,16 +289,22 @@ def run_stage(
         opt_state=jax.tree.map(_mesh_wide, jax.jit(tx.init)(params)),
     )
     ckpt = CheckpointManager(os.path.join(args.ckpt_dir, f"stage{stage}"))
-    # checkpoints are keyed by completed-epoch count, so resume knows exactly
-    # where to pick the data stream back up; the optimizer step lives inside
-    # the restored TrainState
+    # checkpoint keys encode (completed epochs, mid-epoch updates) — see
+    # `_CKPT_STRIDE` above; the optimizer step lives inside the restored
+    # TrainState
     start_epoch = 0
+    skip_updates = 0
     if args.resume is not None:
         last = ckpt.latest_step()
         if last is not None:
             state = ckpt.restore(state)
-            start_epoch = int(last)
-            print(f"stage {stage}: resumed epoch {start_epoch} from {args.resume}")
+            start_epoch = int(last) // _CKPT_STRIDE
+            skip_updates = int(last) % _CKPT_STRIDE
+            at = f" (+{skip_updates} updates)" if skip_updates else ""
+            print(
+                f"stage {stage}: resumed epoch {start_epoch}{at} "
+                f"from {args.resume}"
+            )
     if start_epoch >= epochs:
         ckpt.close()
         return state.params
@@ -286,7 +343,11 @@ def run_stage(
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         epoch_start = time.time()
         epoch_batches = 0
-        epoch_updates = 0
+        # mid-epoch resume: the first `skip_updates * accum` microbatches of
+        # this epoch's seeded stream were consumed before the preemption —
+        # skip them host-side (no device work) to land on the saved boundary
+        skip_micro = skip_updates * accum if epoch == start_epoch else 0
+        epoch_updates = skip_updates if epoch == start_epoch else 0
         try:
             batches = multihost.lockstep_batches(
                 train_loader(seed=args.seed + epoch, drop_remainder=True),
@@ -295,6 +356,9 @@ def run_stage(
             micro = 0
             for batch in batches:
                 epoch_batches += 1
+                if skip_micro > 0:
+                    skip_micro -= 1
+                    continue
                 device_batch = multihost.host_local_batch_to_global(
                     {k: batch[k] for k in ("speech", "labels", "attention_mask")},
                     mesh,
@@ -323,6 +387,17 @@ def run_stage(
                          "epoch": epoch},
                         step=step_count,
                     )
+                if _preempt_consensus(epoch_updates, args.preempt_sync_updates):
+                    key = epoch * _CKPT_STRIDE + epoch_updates
+                    ckpt.save(key, state, wait=True)
+                    ckpt.close()
+                    print(
+                        f"stage {stage}: preempted — saved epoch {epoch} "
+                        f"update {epoch_updates} (key {key}); resume with "
+                        f"--resume to continue bit-exactly",
+                        flush=True,
+                    )
+                    raise PreemptExit
             if micro > 0:
                 # trailing microbatches short of a full update are dropped —
                 # the per-epoch analog of `drop_remainder` (a partial SUM
@@ -359,7 +434,7 @@ def run_stage(
             logger.log({f"stage{stage}/val_loss": val_loss, "epoch": epoch},
                        step=step_count)
         if (epoch + 1) % max(args.ckpt_every_epochs, 1) == 0 or epoch + 1 == epochs:
-            ckpt.save(epoch + 1, state)
+            ckpt.save((epoch + 1) * _CKPT_STRIDE, state)
         logger.log(
             {f"stage{stage}/epoch_time": time.time() - epoch_start, "epoch": epoch},
             step=step_count,
@@ -468,12 +543,18 @@ def main(args: TrainingArgs) -> None:
         )
     args.ckpt_dir = run_dir
 
-    for stage in (1, 2):
-        print(f"=== stage {stage} ===")
-        params = run_stage(
-            stage=stage, args=args, config=config, params=params, mesh=mesh,
-            train_loader=train_loader, val_loader=val_loader, logger=logger,
-        )
+    install_preempt_handler()  # SIGTERM -> mid-epoch checkpoint + clean exit
+    try:
+        for stage in (1, 2):
+            print(f"=== stage {stage} ===")
+            params = run_stage(
+                stage=stage, args=args, config=config, params=params, mesh=mesh,
+                train_loader=train_loader, val_loader=val_loader, logger=logger,
+            )
+    except PreemptExit:
+        logger.finish()
+        print("preempted: checkpoint saved; rerun with --resume", flush=True)
+        return
 
     if test_loader is not None:
         test_loss = evaluate_loss(config, params, test_loader, args, mesh)
@@ -501,6 +582,7 @@ def parse_args() -> TrainingArgs:
         ("seed", defaults.seed),
         ("logging_steps", defaults.logging_steps),
         ("ckpt_every_epochs", defaults.ckpt_every_epochs),
+        ("preempt_sync_updates", defaults.preempt_sync_updates),
         ("model_axis", defaults.model_axis),
     ):
         parser.add_argument(f"--{f_name}", type=int, default=f_def)

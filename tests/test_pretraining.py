@@ -320,6 +320,94 @@ def test_pretrain_cli_tfrecords_and_resume_refusal(tmp_path):
     assert "refusing to silently restart" in result.stderr
 
 
+def test_pretrain_cli_sigterm_preemption(tmp_path):
+    """SIGTERM during pretraining saves a step-granular checkpoint and
+    exits cleanly; --resume picks it up mid-epoch and completes (the
+    bit-exactness of the shared mechanism is pinned by the train-CLI
+    test — `cli.pretrain` imports the same helpers)."""
+    import os
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as _time
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from flac_encoder import encode_flac
+
+    rng = np.random.default_rng(13)
+    chap = tmp_path / "corpus" / "1" / "1"
+    chap.mkdir(parents=True)
+    lines = []
+    for i in range(8):
+        sig = np.clip(
+            2000 * np.sin(np.arange(6000) / 5.0)
+            + rng.integers(-60, 60, 6000),
+            -32768, 32767,
+        ).astype(np.int64)
+        (chap / f"1-1-{i:04d}.flac").write_bytes(
+            encode_flac(sig, subframe_kind="fixed", order=2, rice_param=7)
+        )
+        lines.append(f"1-1-{i:04d} UNUSED")
+    (chap / "1-1.trans.txt").write_text("\n".join(lines))
+
+    config = tiny_pretraining_config(num_layers=1)
+    cfg_dir = tmp_path / "cfg"
+    config.save_pretrained(str(cfg_dir))
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    log_dir = str(tmp_path / "logs")
+    argv = [
+        sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.pretrain",
+        "--train_dir", str(tmp_path / "corpus"),
+        "--config", str(cfg_dir / "config.json"),
+        "--epochs", "10", "--batch_size_per_device", "1",
+        "--model_axis", "4",  # global batch 2 -> 4 updates per epoch
+        "--audio_maxlen", "6000", "--mask_time_length", "2",
+        "--warmup_steps", "4", "--lr", "1e-4", "--logging_steps", "1",
+        "--compute_dtype", "float32",
+        "--ckpt_dir", ckpt_dir, "--log_dir", log_dir,
+    ]
+    out_path = str(tmp_path / "stdout.txt")
+    with open(out_path, "w") as out:
+        proc = subprocess.Popen(
+            argv, stdout=out, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        metrics_path = os.path.join(log_dir, "metrics.jsonl")
+        deadline = _time.time() + 600
+        seen = 0
+        while _time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "pretraining finished before the signal: "
+                    + open(out_path).read()[-3000:]
+                )
+            if os.path.exists(metrics_path):
+                with open(metrics_path) as f:
+                    seen = sum(1 for line in f if "pretrain/loss" in line)
+                if seen >= 2:
+                    break
+            _time.sleep(0.2)
+        assert seen >= 2, "pretraining never produced loss logs"
+        proc.send_signal(_signal.SIGTERM)
+        proc.wait(timeout=300)
+    stdout = open(out_path).read()
+    assert proc.returncode == 0, stdout[-3000:]
+    assert "preempted — saved epoch" in stdout, stdout[-3000:]
+
+    resumed = subprocess.run(
+        argv + ["--resume", ckpt_dir, "--epochs", "3"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=900,
+    )
+    assert resumed.returncode == 0, resumed.stderr[-3000:]
+    assert "resumed epoch" in resumed.stdout
+    assert os.path.isdir(os.path.join(ckpt_dir, "for_ctc"))
+
+
 def test_pretrain_step_on_mesh_matches_single_device():
     """The sharded pretrain step (4x2 data×model mesh over 8 virtual CPU
     devices) computes the same objective as the unsharded step.  The

@@ -189,6 +189,95 @@ def test_train_cli_resume_bit_exact(corpus, tiny_model_dir, tmp_path):
         )
 
 
+def test_train_cli_sigterm_preemption_bit_exact(corpus, tiny_model_dir, tmp_path):
+    """SIGTERM (the TPU-preemption signal) mid-epoch: the driver must save a
+    step-granular checkpoint, exit cleanly, and `--resume` must fast-forward
+    the seeded batch stream so the completed run equals an uninterrupted one
+    bit-for-bit — the reference loses everything since its last epoch
+    boundary (`training_utils.py:38-45`)."""
+    import signal as _signal
+    import time as _time
+
+    env = _cli_env()
+    common = [
+        "--model_id", tiny_model_dir,
+        "--train_dir", corpus,
+        "--stage1_epochs", "8",
+        "--stage2_epochs", "0",
+        "--batch_size_per_device", "1",
+        "--model_axis", "4",  # global batch 2 -> 2 updates per epoch
+        "--audio_maxlen", "6000",
+        "--labels_maxlen", "32",
+        "--logging_steps", "1",
+        "--compute_dtype", "float32",
+    ]
+
+    r = _run_train(
+        common + ["--ckpt_dir", str(tmp_path / "ckpts_straight"),
+                  "--log_dir", str(tmp_path / "logs_straight")],
+        env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    straight_dir = os.path.join(
+        str(tmp_path / "ckpts_straight"),
+        os.listdir(str(tmp_path / "ckpts_straight"))[0],
+    )
+
+    # preempted run: SIGTERM once training demonstrably started
+    ckpt_dir = str(tmp_path / "ckpts_preempt")
+    log_dir = str(tmp_path / "logs_preempt")
+    out_path = str(tmp_path / "preempt_stdout.txt")
+    with open(out_path, "w") as out:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.train", *common,
+             "--ckpt_dir", ckpt_dir, "--log_dir", log_dir],
+            stdout=out, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        metrics_path = os.path.join(log_dir, "metrics.jsonl")
+        deadline = _time.time() + 600
+        seen_losses = 0
+        while _time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "training finished before the signal: "
+                    + open(out_path).read()[-3000:]
+                )
+            if os.path.exists(metrics_path):
+                with open(metrics_path) as f:
+                    seen_losses = sum(
+                        1 for line in f if "stage1/loss" in line
+                    )
+                if seen_losses >= 2:
+                    break
+            _time.sleep(0.2)
+        assert seen_losses >= 2, "training never produced loss logs"
+        proc.send_signal(_signal.SIGTERM)
+        proc.wait(timeout=300)
+    stdout = open(out_path).read()
+    assert proc.returncode == 0, stdout[-3000:]
+    assert "preempted — saved epoch" in stdout, stdout[-3000:]
+
+    run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    r2 = _run_train(
+        common + ["--log_dir", str(tmp_path / "logs_preempt2"),
+                  "--resume", run_dir],
+        env,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed epoch" in r2.stdout
+
+    a = Wav2Vec2ForCTC.from_pretrained(os.path.join(straight_dir, "final"))
+    b = Wav2Vec2ForCTC.from_pretrained(os.path.join(run_dir, "final"))
+    flat_a = jax.tree_util.tree_leaves_with_path(a.params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b.params))
+    assert flat_a and len(flat_a) == len(flat_b)
+    for path, leaf_a in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf_a), np.asarray(flat_b[path]), err_msg=str(path)
+        )
+
+
 def test_train_cli_refuses_zero_update_epochs(corpus, tiny_model_dir, tmp_path):
     """An epoch whose batches never complete one optimizer update (fewer
     batches than --grad_accum) must abort loudly — otherwise the driver
