@@ -285,6 +285,11 @@ def main() -> None:
         "--no_warmup", action="store_true",
         help="skip startup compilation of the bucket shapes",
     )
+    parser.add_argument(
+        "--sharded", action="store_true",
+        help="shard each batch over ALL devices (data-parallel serving; "
+             "same mesh plumbing as `cli.evaluate --sharded`)",
+    )
     args = parser.parse_args()
 
     lm = None
@@ -296,9 +301,19 @@ def main() -> None:
         lm = CharNGramLM.load(args.lm_path)
 
     model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
+    mesh = None
+    if args.sharded:
+        import jax
+
+        from ..parallel import make_mesh, multihost
+
+        multihost.initialize()
+        mesh = make_mesh(model=1)  # every device on the data axis
+        print(f"sharded serving over {jax.device_count()} devices",
+              flush=True)
     evaluator = GreedyCTCEvaluator(
-        model.config, model.params, beam_width=args.beam_width, lm=lm,
-        lm_weight=args.lm_weight, token_bonus=args.token_bonus,
+        model.config, model.params, mesh=mesh, beam_width=args.beam_width,
+        lm=lm, lm_weight=args.lm_weight, token_bonus=args.token_bonus,
     )
     buckets = [int(b) for b in args.buckets.split(",") if b]
     batcher = DynamicBatcher(

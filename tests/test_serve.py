@@ -58,26 +58,28 @@ def _post(url, body, content_type, timeout=60):
         return e.code, json.loads(e.read())
 
 
-@pytest.fixture(scope="module")
-def server(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("serve")
+def _make_model_dir(tmp) -> str:
     model_dir = str(tmp / "model")
-    model = Wav2Vec2ForCTC(
+    Wav2Vec2ForCTC(
         Wav2Vec2Config(**TINY, dropout=0.0, apply_spec_augment=False,
                        survival_prob=1.0),
         seed=0,
-    )
-    model.save_pretrained(model_dir)
+    ).save_pretrained(model_dir)
+    return model_dir
 
-    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+
+def _spawn_server(model_dir: str, extra_args=(), device_count: int = 1):
+    env = dict(
+        os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={device_count}",
+    )
     env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.Popen(
         [
             sys.executable, "-m", "gsoc_wav2vec2_tpu.cli.serve",
             "--model_dir", model_dir, "--port", "0",
             "--buckets", BUCKETS, "--max_batch", str(MAX_BATCH),
-            "--batch_window_ms", "300",
+            "--batch_window_ms", "300", *extra_args,
         ],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         env=env, cwd="/root/repo",
@@ -92,20 +94,32 @@ def server(tmp_path_factory):
             base = line.split("serving on ", 1)[1].strip()
             break
     assert base, "server never reported its address"
-    # healthz must answer once serving
-    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
-        health = json.loads(resp.read())
-    assert health["status"] == "ok"
-    assert health["buckets"] == [4000, 8000]
+    return proc, base
 
-    yield {"base": base, "model": model}
 
+def _kill_server(proc) -> None:
     proc.send_signal(signal.SIGTERM)
     try:
         proc.wait(timeout=30)
     except subprocess.TimeoutExpired:
         proc.kill()
         proc.wait(timeout=30)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    model_dir = _make_model_dir(tmp)
+    proc, base = _spawn_server(model_dir)
+    # healthz must answer once serving
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+    assert health["buckets"] == [4000, 8000]
+
+    yield {"base": base}
+
+    _kill_server(proc)
 
 
 def _transcribe_json(base: str, audio: np.ndarray):
@@ -225,3 +239,43 @@ def test_error_paths(server):
     with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
         after = json.loads(resp.read())["requests"]
     assert after >= before + 1
+
+
+def test_sharded_server_batches_over_mesh(tmp_path):
+    """--sharded: batches shard over an 8-virtual-device data mesh; the
+    served transcription must not depend on co-batching (batched == solo)."""
+    model_dir = _make_model_dir(tmp_path)
+    proc, base = _spawn_server(
+        model_dir, extra_args=("--sharded",), device_count=8
+    )
+    try:
+        rng = np.random.default_rng(5)
+        audios = [
+            (np.sin(np.arange(3200) / (2.0 + i))
+             + 0.02 * rng.standard_normal(3200)).astype(np.float32)
+            for i in range(MAX_BATCH)
+        ]
+        solo = []
+        for audio in audios:
+            status, out = _transcribe_json(base, audio)
+            assert status == 200, out
+            solo.append(out["transcription"])
+        results = [None] * MAX_BATCH
+
+        def worker(i):
+            results[i] = _transcribe_json(base, audios[i])
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(MAX_BATCH)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (status, out) in enumerate(results):
+            assert status == 200, out
+            assert out["transcription"] == solo[i]
+        assert max(out["batched_with"] for _, out in results) >= 2
+    finally:
+        _kill_server(proc)
