@@ -21,11 +21,15 @@ batching discipline the hardware wants:
 Protocol (JSON over HTTP, stdlib-only so it runs anywhere the framework
 does):
 
-  POST /v1/transcribe
+  POST /v1/transcribe[?timestamps=1]
       body audio/wav | audio/flac | application/octet-stream (sniffed) |
-      application/json {"audio": [float...], "sample_rate": 16000}
+      application/json {"audio": [float...], "sample_rate": 16000,
+                        "timestamps": bool}
       -> {"transcription": str, "audio_seconds": float, "latency_ms": float,
-          "batched_with": int}
+          "batched_with": int[, "words": [{"word", "start", "end",
+          "start_frame", "end_frame", "confidence"}, ...]]}
+      (word-level timestamps are greedy-decode only; a beam server
+      answers 400 to timestamp requests)
   GET /healthz
       -> {"status": "ok", "model": ..., "requests": N, ...}
 
@@ -42,6 +46,7 @@ import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
@@ -56,12 +61,17 @@ DEFAULT_BUCKETS = (32000, 64000, 123000, 246000)
 class _Request:
     """One queued utterance: normalised audio plus a completion event."""
 
-    __slots__ = ("audio", "done", "text", "error", "batched_with", "enqueued")
+    __slots__ = (
+        "audio", "done", "text", "words", "want_timestamps", "error",
+        "batched_with", "enqueued",
+    )
 
-    def __init__(self, audio: np.ndarray):
+    def __init__(self, audio: np.ndarray, want_timestamps: bool = False):
         self.audio = audio
         self.done = threading.Event()
         self.text: str | None = None
+        self.words: list | None = None
+        self.want_timestamps = want_timestamps
         self.error: str | None = None
         self.batched_with = 0
         self.enqueued = time.perf_counter()
@@ -89,6 +99,11 @@ class DynamicBatcher:
         self.buckets = sorted(buckets)
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        # greedy servers always run the scored (argmax + frame-confidence)
+        # program so any request may ask for word timestamps without a
+        # second compiled program per bucket; beam servers keep no frame
+        # alignment, so timestamps are rejected at the HTTP layer
+        self.timestamps_supported = evaluator.beam_width == 0
         self._pending: list[_Request] = []
         self._cv = threading.Condition()
         self._stop = False
@@ -110,10 +125,13 @@ class DynamicBatcher:
         for bucket in self.buckets:
             speech = np.zeros((self.max_batch, bucket), np.float32)
             lengths = np.full((self.max_batch,), bucket, np.int64)
-            self.evaluator.predict_batch(speech, lengths)
+            if self.timestamps_supported:
+                self.evaluator.predict_segments(speech, lengths)
+            else:
+                self.evaluator.predict_batch(speech, lengths)
 
-    def submit(self, audio: np.ndarray) -> _Request:
-        req = _Request(audio)
+    def submit(self, audio: np.ndarray, want_timestamps: bool = False):
+        req = _Request(audio, want_timestamps)
         with self._cv:
             self._pending.append(req)
             self._cv.notify()
@@ -161,10 +179,18 @@ class DynamicBatcher:
                     for i, req in enumerate(reqs):
                         speech[i, : len(req.audio)] = req.audio
                         lengths[i] = len(req.audio)
-                    texts = self.evaluator.predict_batch(speech, lengths)
-                    for i, req in enumerate(reqs):
-                        req.text = texts[i]
-                        req.batched_with = len(reqs)
+                    if self.timestamps_supported:
+                        segs = self.evaluator.predict_segments(
+                            speech, lengths
+                        )
+                        for i, req in enumerate(reqs):
+                            req.text, req.words = segs[i]
+                            req.batched_with = len(reqs)
+                    else:
+                        texts = self.evaluator.predict_batch(speech, lengths)
+                        for i, req in enumerate(reqs):
+                            req.text = texts[i]
+                            req.batched_with = len(reqs)
                 except Exception as e:  # noqa: BLE001 — surface to the client
                     for req in reqs:
                         req.error = f"{type(e).__name__}: {e}"
@@ -173,7 +199,12 @@ class DynamicBatcher:
                         req.done.set()
             for req in longform:
                 try:
-                    req.text = self.evaluator.transcribe_long(req.audio)
+                    if self.timestamps_supported:
+                        req.text, req.words = (
+                            self.evaluator.transcribe_long_segments(req.audio)
+                        )
+                    else:
+                        req.text = self.evaluator.transcribe_long(req.audio)
                     req.batched_with = 1
                 except Exception as e:  # noqa: BLE001
                     req.error = f"{type(e).__name__}: {e}"
@@ -181,8 +212,12 @@ class DynamicBatcher:
                     req.done.set()
 
 
-def _parse_audio(body: bytes, content_type: str) -> np.ndarray:
-    """Raw request body -> float32 waveform (sniffs WAV/FLAC magic)."""
+def _parse_audio(body: bytes, content_type: str):
+    """Raw request body -> (float32 waveform, want_timestamps).
+
+    Sniffs WAV/FLAC magic; JSON bodies may also carry a boolean
+    `"timestamps"` (binary payloads request timestamps via the
+    `?timestamps=1` query parameter instead)."""
     if content_type.startswith("application/json"):
         payload = json.loads(body)
         if "audio" not in payload:
@@ -190,7 +225,10 @@ def _parse_audio(body: bytes, content_type: str) -> np.ndarray:
         rate = int(payload.get("sample_rate", 16000))
         if rate != 16000:
             raise ValueError(f"sample_rate {rate} != 16000")
-        return np.asarray(payload["audio"], np.float32)
+        return (
+            np.asarray(payload["audio"], np.float32),
+            bool(payload.get("timestamps", False)),
+        )
     if body[:4] == b"RIFF":
         audio, rate = decode_wav_bytes(body, "<request>")
     elif body[:4] == b"fLaC":
@@ -201,7 +239,7 @@ def _parse_audio(body: bytes, content_type: str) -> np.ndarray:
         )
     if rate != 16000:
         raise ValueError(f"sample rate {rate} != 16000")
-    return np.asarray(audio, np.float32)
+    return np.asarray(audio, np.float32), False
 
 
 def make_handler(batcher: DynamicBatcher, processor, stats: dict):
@@ -226,39 +264,49 @@ def make_handler(batcher: DynamicBatcher, processor, stats: dict):
             self._reply(200, {"status": "ok", **stats})
 
         def do_POST(self) -> None:  # noqa: N802
-            if self.path != "/v1/transcribe":
+            parsed = urlparse(self.path)
+            if parsed.path != "/v1/transcribe":
                 self._reply(404, {"error": "not found"})
                 return
             start = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
-                audio = _parse_audio(
+                audio, want_ts = _parse_audio(
                     body, self.headers.get("Content-Type", "")
                 )
+                qs = parse_qs(parsed.query).get("timestamps", [])
+                want_ts = want_ts or (
+                    qs and qs[-1].lower() in ("1", "true", "yes")
+                )
+                if want_ts and not batcher.timestamps_supported:
+                    raise ValueError(
+                        "timestamps require greedy decoding; this server "
+                        "runs beam search (--beam_width > 0)"
+                    )
                 if audio.ndim != 1 or len(audio) == 0:
                     raise ValueError("audio must be a non-empty 1-D waveform")
                 speech = np.asarray(processor(audio), np.float32)
             except (ValueError, OSError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
-            req = batcher.submit(speech)
+            req = batcher.submit(speech, want_timestamps=want_ts)
             req.done.wait()
             if req.error is not None:
                 self._reply(500, {"error": req.error})
                 return
             stats["requests"] += 1
-            self._reply(
-                200,
-                {
-                    "transcription": req.text,
-                    "audio_seconds": round(len(audio) / 16000.0, 3),
-                    "latency_ms": round(
-                        (time.perf_counter() - start) * 1000.0, 2
-                    ),
-                    "batched_with": req.batched_with,
-                },
-            )
+            payload = {
+                "transcription": req.text,
+                "audio_seconds": round(len(audio) / 16000.0, 3),
+                "latency_ms": round(
+                    (time.perf_counter() - start) * 1000.0, 2
+                ),
+                "batched_with": req.batched_with,
+            }
+            if req.want_timestamps:
+                payload["words"] = req.words
+            self._reply(200, payload)
 
     return Handler
 

@@ -46,7 +46,14 @@ def main() -> None:
                         help="fusion weight (default 0.5; requires --lm_path)")
     parser.add_argument("--token_bonus", type=float, default=None,
                         help="per-char insertion bonus (requires --lm_path)")
+    parser.add_argument(
+        "--timestamps", action="store_true",
+        help="emit word-level start/end times and confidences (greedy "
+             "decode only — beam search keeps no frame alignment)",
+    )
     args = parser.parse_args()
+    if args.timestamps and args.beam_width > 0:
+        parser.error("--timestamps requires greedy decoding (beam_width 0)")
 
     lm = None
     if args.lm_path:
@@ -71,12 +78,22 @@ def main() -> None:
         if rate != args.sample_rate:
             raise ValueError(f"{path}: sample rate {rate} != {args.sample_rate}")
         speech = np.asarray(processor(audio), np.float32)
-        text = evaluator.transcribe_long(
-            speech,
-            chunk_samples=args.chunk_samples,
-            context_samples=args.context_samples,
-        )
-        print(json.dumps({"file": path, "transcription": text}))
+        if args.timestamps:
+            text, words = evaluator.transcribe_long_segments(
+                speech,
+                chunk_samples=args.chunk_samples,
+                context_samples=args.context_samples,
+            )
+            print(json.dumps(
+                {"file": path, "transcription": text, "words": words}
+            ))
+        else:
+            text = evaluator.transcribe_long(
+                speech,
+                chunk_samples=args.chunk_samples,
+                context_samples=args.context_samples,
+            )
+            print(json.dumps({"file": path, "transcription": text}))
 
 
 if __name__ == "__main__":

@@ -381,3 +381,90 @@ def brute_force_ctc_best(
         totals[key] = _logaddexp(totals.get(key, NEG_INF), lp)
     best = max(totals.items(), key=lambda kv: kv[1])
     return list(best[0]), best[1]
+
+
+def ctc_word_segments(
+    frame_ids,
+    *,
+    pad_id: int,
+    delimiter_id: int,
+    id_to_token: dict,
+    frame_seconds: float,
+    frame_probs=None,
+):
+    """Word-level segments from a greedy CTC frame path.
+
+    The reference decodes to a bare string (`processor.py:71-89`); serving
+    users also want WHERE each word was said.  Greedy argmax keeps the
+    frame alignment that beam search integrates away, so word boundaries
+    fall out of the run structure: collapse `frame_ids` into runs, give
+    each non-blank run its `[start_frame, end_frame)` span, and group
+    char runs into words at delimiter runs.  The offset convention matches
+    HuggingFace's `Wav2Vec2CTCTokenizer.decode(output_word_offsets=True)`
+    exactly (oracle-tested in `tests/test_timestamps.py`): a char repeated
+    over frames 5,6,7 spans [5, 8); a word spans from its first char's
+    start to its last char's end; blank frames between chars of a word are
+    inside the word's span but carry no char.
+
+    `frame_probs` (optional): per-frame probability of the argmax symbol.
+    Each word then gets a `confidence` — the mean probability over the
+    frames of its char runs (blank frames excluded: the model asserted
+    no symbol there).
+
+    Returns `(text, words)`.  `text` is the exact greedy transcription
+    (join of char runs, delimiter -> space); `words` is a list of dicts
+    `{"word", "start", "end", "start_frame", "end_frame"[, "confidence"]}`
+    with times in seconds (`offset * frame_seconds`, the conv stack's
+    total stride over the sample rate).
+    """
+    frame_ids = [int(i) for i in frame_ids]
+    # run-length collapse with positions: (id, start_frame, end_frame)
+    runs = []
+    for i, fid in enumerate(frame_ids):
+        if runs and runs[-1][0] == fid:
+            runs[-1][2] = i + 1
+        else:
+            runs.append([fid, i, i + 1])
+
+    words = []
+    text_parts: List[str] = []
+    cur_chars: List[str] = []
+    cur_start = cur_end = 0
+    cur_prob_sum, cur_prob_frames = 0.0, 0
+
+    def flush_word():
+        nonlocal cur_chars, cur_prob_sum, cur_prob_frames
+        if cur_chars:
+            entry = {
+                "word": "".join(cur_chars),
+                # exact multiples of frame_seconds — callers round for
+                # display (a frame is 0.625 ms on the tiny test stack)
+                "start": cur_start * frame_seconds,
+                "end": cur_end * frame_seconds,
+                "start_frame": cur_start,
+                "end_frame": cur_end,
+            }
+            if frame_probs is not None and cur_prob_frames:
+                entry["confidence"] = round(cur_prob_sum / cur_prob_frames, 4)
+            words.append(entry)
+        cur_chars = []
+        cur_prob_sum, cur_prob_frames = 0.0, 0
+
+    for fid, start, end in runs:
+        if fid == pad_id:
+            continue  # blank: no symbol, no state change
+        if fid == delimiter_id:
+            flush_word()
+            text_parts.append(" ")
+            continue
+        token = id_to_token.get(fid, "<unk>")
+        if not cur_chars:
+            cur_start = start
+        cur_end = end
+        cur_chars.append(token)
+        text_parts.append(token)
+        if frame_probs is not None:
+            cur_prob_sum += float(np.sum(frame_probs[start:end]))
+            cur_prob_frames += end - start
+    flush_word()
+    return "".join(text_parts).strip(), words

@@ -208,19 +208,32 @@ class GreedyCTCEvaluator:
             raise ValueError("empty reference corpus")
         return errors / words, n
 
-    def _step(self, with_mask: bool):
-        key = (with_mask, self.beam_width > 0)
+    def _step(self, with_mask: bool, mode: Optional[str] = None):
+        """Compiled forward step.  `mode`:
+          * "argmax"   — per-frame argmax ids (greedy decode),
+          * "logprobs" — full per-frame log-softmax (beam search),
+          * "scored"   — argmax ids PLUS each frame's max log-prob
+            (greedy decode with word timestamps/confidences).
+        Default follows `beam_width` as before."""
+        if mode is None:
+            mode = "logprobs" if self.beam_width > 0 else "argmax"
+        key = (with_mask, mode)
         if key not in self._jitted:
             config, cdtype = self.config, self.compute_dtype
-            want_logprobs = self.beam_width > 0
 
             def fn(params, speech, mask=None):
                 logits = wav2vec2_for_ctc_forward(
                     params, config, speech, mask, training=False,
                     compute_dtype=cdtype,
                 )
-                if want_logprobs:
+                if mode == "logprobs":
                     out = jax.nn.log_softmax(logits, axis=-1)
+                elif mode == "scored":
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    out = (
+                        jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                        jnp.max(logp, axis=-1).astype(jnp.float32),
+                    )
                 else:
                     out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 if mask is not None:
@@ -236,6 +249,62 @@ class GreedyCTCEvaluator:
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
+    def _pad_rows(self, speech: np.ndarray, sample_lengths):
+        """Pad (speech, lengths) rows up to the data-axis quantum so the
+        global batch divides the mesh; returns (speech, lengths)."""
+        b, l = speech.shape
+        pad_rows = (-b) % self._row_quantum()
+        if pad_rows:
+            speech = np.concatenate(
+                [speech, np.zeros((pad_rows, l), np.float32)], axis=0
+            )
+            sample_lengths = np.concatenate(
+                [sample_lengths, np.full((pad_rows,), l, np.int64)]
+            )
+        return speech, sample_lengths
+
+    def _device_outputs(self, speech, sample_lengths, mode=None):
+        """Run the compiled step over rows already padded to the data-axis
+        quantum, mesh-sharded when a mesh is set.  Returns host numpy
+        `(outs, frame_lengths)`; `outs` is a tuple of per-frame arrays for
+        mode="scored", a single array otherwise.  `frame_lengths` is
+        clipped to [0, frames] (conv_output_length goes NEGATIVE below
+        ~25 samples on the 7-layer stack — each layer floors — and
+        filler/dummy rows use tiny lengths; a negative slice bound would
+        silently decode almost a full row)."""
+        l = speech.shape[1]
+        inputs = {"speech": speech}
+        if self.use_attention_mask:
+            inputs["mask"] = (
+                np.arange(l)[None, :] < sample_lengths[:, None]
+            ).astype(np.float32)
+        if self.mesh is not None:
+            from .parallel import multihost
+
+            gb = multihost.host_local_batch_to_global(inputs, self.mesh)
+            args = [gb[k] for k in inputs]
+            to_host = self._local_rows
+        else:
+            args = [jnp.asarray(v) for v in inputs.values()]
+            to_host = np.asarray
+        outs, frame_lengths = self._step(self.use_attention_mask, mode)(
+            self.params, *args
+        )
+        if isinstance(outs, tuple):
+            outs = tuple(to_host(o) for o in outs)
+            frames = outs[0].shape[1]
+        else:
+            outs = to_host(outs)
+            frames = outs.shape[1]
+        if self.use_attention_mask:
+            frame_lengths = to_host(frame_lengths)
+        else:
+            # drop frames produced purely by padding so the host-side
+            # collapse sees only real audio frames
+            frame_lengths = self.config.conv_output_length(sample_lengths)
+        frame_lengths = np.clip(np.asarray(frame_lengths), 0, frames)
+        return outs, frame_lengths
+
     def predict_batch(
         self, speech: np.ndarray, sample_lengths: Optional[np.ndarray] = None
     ) -> List[str]:
@@ -248,55 +317,8 @@ class GreedyCTCEvaluator:
         if sample_lengths is None:
             sample_lengths = np.full((b,), l, np.int64)
         sample_lengths = np.asarray(sample_lengths, np.int64)
-
-        q = self._row_quantum()
-        pad_rows = (-b) % q
-        if pad_rows:
-            speech = np.concatenate(
-                [speech, np.zeros((pad_rows, l), np.float32)], axis=0
-            )
-            sample_lengths = np.concatenate(
-                [sample_lengths, np.full((pad_rows,), l, np.int64)]
-            )
-
-        if self.use_attention_mask:
-            mask = (np.arange(l)[None, :] < sample_lengths[:, None]).astype(
-                np.float32
-            )
-            if self.mesh is not None:
-                from .parallel import multihost
-
-                gb = multihost.host_local_batch_to_global(
-                    {"speech": speech, "mask": mask}, self.mesh
-                )
-                preds, frame_lengths = self._step(True)(
-                    self.params, gb["speech"], gb["mask"]
-                )
-                preds = self._local_rows(preds)
-                frame_lengths = self._local_rows(frame_lengths)
-            else:
-                preds, frame_lengths = self._step(True)(
-                    self.params, jnp.asarray(speech), jnp.asarray(mask)
-                )
-        else:
-            if self.mesh is not None:
-                from .parallel import multihost
-
-                gb = multihost.host_local_batch_to_global(
-                    {"speech": speech}, self.mesh
-                )
-                preds, _ = self._step(False)(self.params, gb["speech"])
-                preds = self._local_rows(preds)
-            else:
-                preds, _ = self._step(False)(self.params, jnp.asarray(speech))
-            # drop frames produced purely by padding so the host-side collapse
-            # sees only real audio frames
-            frame_lengths = self.config.conv_output_length(sample_lengths)
-        preds = np.asarray(preds)
-        # conv_output_length goes NEGATIVE below ~25 samples on the 7-layer
-        # stack (each layer floors); filler/dummy rows use tiny lengths, and
-        # a negative slice bound would silently decode almost a full row
-        frame_lengths = np.clip(np.asarray(frame_lengths), 0, preds.shape[1])
+        speech, sample_lengths = self._pad_rows(speech, sample_lengths)
+        preds, frame_lengths = self._device_outputs(speech, sample_lengths)
         if self.beam_width > 0:
             from .decoding import ctc_beam_decode_batch
 
@@ -314,6 +336,54 @@ class GreedyCTCEvaluator:
         return [
             self.tokenizer.decode(preds[i, : frame_lengths[i]])
             for i in range(b)  # pad rows (if any) fall off here
+        ]
+
+    @property
+    def frame_seconds(self) -> float:
+        """Wall-clock seconds per encoder frame: the conv stack's total
+        stride over the 16 kHz sample rate (20 ms for the standard
+        [5,2,2,2,2,2,2] strides)."""
+        return float(np.prod(self.config.strides)) / 16000.0
+
+    def predict_segments(
+        self, speech: np.ndarray, sample_lengths: Optional[np.ndarray] = None
+    ):
+        """Greedy decode with word-level timestamps and confidences.
+
+        Returns one `(text, words)` pair per input row, where `words` is
+        `decoding.ctc_word_segments` output: dicts with the word string,
+        start/end in seconds (and frames), and the mean per-frame
+        probability of the argmax characters as a confidence.  The word
+        timing convention matches HuggingFace's
+        `Wav2Vec2CTCTokenizer.decode(..., output_word_offsets=True)`
+        (oracle-tested).  Beam search has no frame alignment, so this
+        surface is greedy-only."""
+        if self.beam_width > 0:
+            raise ValueError(
+                "word timestamps require greedy decoding (beam_width=0): "
+                "beam search sums over alignments and keeps no frame path"
+            )
+        from .decoding import ctc_word_segments
+
+        speech = np.asarray(speech, np.float32)
+        b, l = speech.shape
+        if sample_lengths is None:
+            sample_lengths = np.full((b,), l, np.int64)
+        sample_lengths = np.asarray(sample_lengths, np.int64)
+        speech, sample_lengths = self._pad_rows(speech, sample_lengths)
+        (ids, maxlogp), frame_lengths = self._device_outputs(
+            speech, sample_lengths, mode="scored"
+        )
+        return [
+            ctc_word_segments(
+                ids[i, : frame_lengths[i]],
+                frame_probs=np.exp(maxlogp[i, : frame_lengths[i]]),
+                pad_id=self.config.pad_id,
+                delimiter_id=self.tokenizer.delimiter_id,
+                id_to_token=self.tokenizer.id_to_token_mapping,
+                frame_seconds=self.frame_seconds,
+            )
+            for i in range(b)
         ]
 
     # -- the three evaluation modes --------------------------------------
@@ -377,6 +447,56 @@ class GreedyCTCEvaluator:
                 np.asarray(seq, np.int32), group_tokens=False
             )
         return self.tokenizer.decode(np.concatenate(ids))
+
+    def transcribe_long_segments(
+        self,
+        audio: np.ndarray,
+        chunk_samples: int = 246000,
+        context_samples: int = 16000,
+    ):
+        """Long-form `predict_segments`: word timestamps over audio of ANY
+        length.  Windows follow the same `plan_chunks` tiling as
+        `transcribe_long`; kept frame ranges tile the utterance exactly
+        from frame 0, so the concatenated stream's indices ARE global frame
+        indices and word times stay correct across chunk junctions."""
+        if self.beam_width > 0:
+            raise ValueError(
+                "word timestamps require greedy decoding (beam_width=0): "
+                "beam search sums over alignments and keeps no frame path"
+            )
+        from .decoding import ctc_word_segments
+
+        audio = np.asarray(audio, np.float32)
+        if len(audio) <= chunk_samples:
+            return self.predict_segments(audio[None, :])[0]
+        plan = plan_chunks(
+            len(audio), chunk_samples, context_samples,
+            self.config.conv_output_length,
+            total_stride=int(np.prod(self.config.strides)),
+        )
+        ids: List[np.ndarray] = []
+        probs: List[np.ndarray] = []
+        for start, keep_lo, keep_hi in plan:
+            chunk = audio[start : start + chunk_samples]
+            true_len = len(chunk)
+            if true_len < chunk_samples:
+                chunk = np.pad(chunk, (0, chunk_samples - true_len))
+            speech, lengths = self._pad_rows(
+                chunk[None, :], np.asarray([true_len], np.int64)
+            )
+            (win_ids, win_logp), _ = self._device_outputs(
+                speech, lengths, mode="scored"
+            )
+            ids.append(win_ids[0, keep_lo:keep_hi])
+            probs.append(np.exp(win_logp[0, keep_lo:keep_hi]))
+        return ctc_word_segments(
+            np.concatenate(ids),
+            frame_probs=np.concatenate(probs),
+            pad_id=self.config.pad_id,
+            delimiter_id=self.tokenizer.delimiter_id,
+            id_to_token=self.tokenizer.id_to_token_mapping,
+            frame_seconds=self.frame_seconds,
+        )
 
     def evaluate_padded(
         self,

@@ -241,6 +241,57 @@ def test_error_paths(server):
     assert after >= before + 1
 
 
+def test_timestamps_word_level(server):
+    """`timestamps` via JSON key or query param returns word segments
+    consistent with the transcription; plain requests carry no words."""
+    base = server["base"]
+    rng = np.random.default_rng(7)
+    audio = (np.sin(np.arange(3600) / 3.5)
+             + 0.02 * rng.standard_normal(3600)).astype(np.float32)
+    status, plain = _transcribe_json(base, audio)
+    assert status == 200 and "words" not in plain
+    status, out = _post(
+        base + "/v1/transcribe",
+        json.dumps({"audio": audio.tolist(), "timestamps": True}).encode(),
+        "application/json",
+    )
+    assert status == 200, out
+    assert out["transcription"] == plain["transcription"]
+    words = out["words"]
+    assert " ".join(w["word"] for w in words).split() == \
+        out["transcription"].split()
+    prev_end = 0.0
+    for w in words:
+        assert 0.0 <= w["start"] < w["end"] <= out["audio_seconds"] + 0.1
+        assert w["start"] >= prev_end
+        prev_end = w["end"]
+        assert 0.0 < w["confidence"] <= 1.0
+    # binary payloads ask via the query parameter
+    status, out2 = _post(
+        base + "/v1/transcribe?timestamps=1", _wav_bytes(audio), "audio/wav"
+    )
+    assert status == 200, out2
+    assert isinstance(out2["words"], list)
+
+
+def test_timestamps_rejected_on_beam_server(tmp_path):
+    """A beam-search server keeps no frame alignment: timestamp requests
+    answer 400 before any device work."""
+    model_dir = _make_model_dir(tmp_path)
+    proc, base = _spawn_server(
+        model_dir, extra_args=("--beam_width", "3", "--no_warmup")
+    )
+    try:
+        status, out = _post(
+            base + "/v1/transcribe",
+            json.dumps({"audio": [0.1] * 600, "timestamps": True}).encode(),
+            "application/json",
+        )
+        assert status == 400 and "greedy" in out["error"]
+    finally:
+        _kill_server(proc)
+
+
 def test_sharded_server_batches_over_mesh(tmp_path):
     """--sharded: batches shard over an 8-virtual-device data mesh; the
     served transcription must not depend on co-batching (batched == solo)."""
