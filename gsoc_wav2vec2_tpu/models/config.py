@@ -49,16 +49,31 @@ class Wav2Vec2Config:
     apply_spec_augment: bool = True
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
+    # feature-axis masking (EXTENSION — absent from the reference; HF
+    # fine-tuning recipes' `mask_feature_prob`: random spans of hidden
+    # dims are zeroed across all time steps of a sample).  Default off.
+    mask_feature_prob: float = 0.0
+    mask_feature_length: int = 10
+    mask_feature_min_masks: int = 0
 
     attention_norm_type: str = "postnorm"
     feature_extractor_norm_type: str = "group"
     is_robust: bool = False
+
+    # Fields the reference's config dataclass does not know: excluded from
+    # config.json when at their defaults so a dir saved here still loads
+    # through the reference's `cls(**json)` (`config.py:57-60`).
+    _EXTENSION_FIELDS = (
+        "mask_feature_prob", "mask_feature_length", "mask_feature_min_masks",
+    )
 
     def __post_init__(self):
         if not (len(self.filter_sizes) == len(self.kernal_sizes) == len(self.strides)):
             raise ValueError(
                 "Length of filter_sizes, kernal_sizes, strides must match."
             )
+        if not 0.0 <= self.mask_feature_prob <= 1.0:
+            raise ValueError("mask_feature_prob must be in [0, 1]")
         if self.hidden_size % self.num_heads != 0:
             raise ValueError("Hidden size must be perfect multiple of num_heads.")
         if self.feature_extractor_norm_type not in ("group", "layer"):
@@ -86,6 +101,24 @@ class Wav2Vec2Config:
 
     # -- persistence ------------------------------------------------------
 
+    def to_dict(self) -> dict:
+        """JSON payload: all fields, minus extension fields still at their
+        defaults (keeps reference load-back compatibility; a non-default
+        extension value IS written — the dir then needs this framework)."""
+        d = asdict(self)
+        from dataclasses import MISSING, fields
+
+        defaults = {
+            f.name: (
+                f.default if f.default is not MISSING else f.default_factory()
+            )
+            for f in fields(self)
+        }
+        for name in self._EXTENSION_FIELDS:
+            if d.get(name) == defaults[name]:
+                del d[name]
+        return d
+
     def save_pretrained(self, save_dir: str) -> None:
         if "://" in save_dir:
             # remote (gs://...) destination: os.makedirs would create a
@@ -93,11 +126,11 @@ class Wav2Vec2Config:
             import fsspec
 
             with fsspec.open(f"{save_dir.rstrip('/')}/config.json", "w") as f:
-                json.dump(asdict(self), f)
+                json.dump(self.to_dict(), f)
             return
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "config.json"), "w") as f:
-            json.dump(asdict(self), f)
+            json.dump(self.to_dict(), f)
 
     @classmethod
     def from_json(cls, path: str) -> "Wav2Vec2Config":

@@ -34,7 +34,7 @@ import numpy as np
 from ..ops.attention import mask_to_bias, mha
 from ..ops.basic import dense, dropout, gelu, group_norm, layer_norm, stochastic_depth
 from ..ops.conv import conv1d, init_weight_g, pos_conv_embed
-from ..ops.specaugment import apply_spec_augmentation
+from ..ops.specaugment import apply_feature_masking, apply_spec_augmentation
 from .config import RobustWav2Vec2Config, Wav2Vec2Config
 
 logger = logging.getLogger(__name__)
@@ -452,6 +452,17 @@ def wav2vec2_forward(
             config.mask_time_prob,
             config.mask_time_length,
         )
+        # feature-axis masking (extension; HF `mask_feature_prob`).  The
+        # key draw is inside the gate so prob=0 configs keep the exact RNG
+        # stream of earlier checkpoints (bit-exact resume tests rely on it)
+        if config.mask_feature_prob > 0:
+            x = apply_feature_masking(
+                next_key(),
+                x,
+                config.mask_feature_prob,
+                config.mask_feature_length,
+                config.mask_feature_min_masks,
+            )
 
     frame_mask = None
     if attention_mask is not None:

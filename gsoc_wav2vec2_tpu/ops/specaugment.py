@@ -92,3 +92,20 @@ def apply_spec_augmentation(
     mask = compute_mask_indices(rng, b, l, mask_prob, mask_length, min_masks)
     fill = masked_spec_embed.astype(features.dtype)[None, None, :]
     return jnp.where(mask[:, :, None], fill, features)
+
+
+def apply_feature_masking(
+    rng: jax.Array,
+    features: jax.Array,
+    mask_prob: float,
+    mask_length: int,
+    min_masks: int = 0,
+) -> jax.Array:
+    """Zero random spans of the HIDDEN axis, shared across all time steps
+    of a sample (HF `mask_feature_prob` semantics — an EXTENSION absent
+    from the reference, whose SpecAugment masks time only).  Masked dims
+    are set to 0, not to `masked_spec_embed` (matching HF's
+    `_mask_hidden_states`: the embed vector fills time masks only)."""
+    b, _, h = features.shape
+    mask = compute_mask_indices(rng, b, h, mask_prob, mask_length, min_masks)
+    return features * (~mask)[:, None, :].astype(features.dtype)

@@ -84,3 +84,100 @@ def test_keys_give_different_masks_and_jit_does_not_freeze():
     m2 = np.asarray(f(jax.random.PRNGKey(1)))
     assert (m1 != m2).any()
     np.testing.assert_array_equal(m1, np.asarray(f(jax.random.PRNGKey(0))))
+
+
+# -- feature-axis masking (EXTENSION: HF `mask_feature_prob`) ---------------
+
+
+def test_feature_masking_zeroes_whole_dims_across_time():
+    from gsoc_wav2vec2_tpu.ops.specaugment import apply_feature_masking
+
+    feats = jnp.zeros((2, 60, 128)) + 3.0
+    out = np.asarray(
+        apply_feature_masking(jax.random.PRNGKey(5), feats, 0.2, 8)
+    )
+    zeroed = (out == 0.0).all(axis=1)  # (B, H): dim zero at EVERY step
+    intact = (out == 3.0).all(axis=1)
+    assert np.all(zeroed | intact), "a dim must be fully masked or untouched"
+    assert zeroed.any() and intact.any()
+    # spans: zeroed dims come in runs of mask_length (possibly merged)
+    for row in zeroed:
+        padded = np.concatenate([[False], row, [False]])
+        edges = np.flatnonzero(np.diff(padded.astype(int)))
+        for lo, hi in zip(edges[::2], edges[1::2]):
+            assert hi - lo >= 8
+
+
+def test_feature_masking_min_masks_zero_and_determinism():
+    from gsoc_wav2vec2_tpu.ops.specaugment import apply_feature_masking
+
+    feats = jnp.ones((4, 10, 64))
+    out1 = np.asarray(
+        apply_feature_masking(jax.random.PRNGKey(0), feats, 0.01, 10, 0)
+    )
+    out2 = np.asarray(
+        apply_feature_masking(jax.random.PRNGKey(0), feats, 0.01, 10, 0)
+    )
+    np.testing.assert_array_equal(out1, out2)
+    assert np.isfinite(out1).all()
+
+
+def test_forward_with_feature_masking_masks_and_backprops():
+    """Training forward with mask_feature_prob > 0 runs, differs from the
+    time-mask-only path, and gradients stay finite."""
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config
+    from gsoc_wav2vec2_tpu.models.modeling import (
+        init_wav2vec2_for_ctc_params,
+        wav2vec2_for_ctc_forward,
+    )
+
+    tiny = dict(
+        hidden_size=32, num_heads=2, num_layers=2, intermediate_size=64,
+        filter_sizes=[16, 16], kernal_sizes=[10, 3], strides=[5, 2],
+        dropout=0.0, survival_prob=1.0,
+    )
+    config_on = Wav2Vec2Config(
+        **tiny, mask_feature_prob=0.3, mask_feature_length=4,
+        mask_feature_min_masks=1,
+    )
+    config_off = Wav2Vec2Config(**tiny)
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config_on)
+    speech = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 2000)), jnp.float32
+    )
+    rng = jax.random.PRNGKey(7)
+
+    def loss(p, cfg):
+        out = wav2vec2_for_ctc_forward(p, cfg, speech, training=True, rng=rng)
+        return jnp.sum(out**2)
+
+    on, g = jax.value_and_grad(loss)(params, config_on)
+    off = loss(params, config_off)
+    assert np.isfinite(float(on)) and float(on) != float(off)
+    flat, _ = jax.tree.flatten(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_config_extension_fields_json_contract(tmp_path):
+    """Defaults stay OUT of config.json (the reference's `cls(**json)`
+    must still load a dir saved here); non-default values round-trip."""
+    import json as jsonlib
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config
+
+    plain = Wav2Vec2Config()
+    plain.save_pretrained(str(tmp_path / "plain"))
+    with open(tmp_path / "plain" / "config.json") as f:
+        d = jsonlib.load(f)
+    assert "mask_feature_prob" not in d
+    assert "mask_feature_length" not in d
+
+    masked = Wav2Vec2Config(mask_feature_prob=0.25, mask_feature_length=12)
+    masked.save_pretrained(str(tmp_path / "masked"))
+    back = Wav2Vec2Config.from_json(
+        str(tmp_path / "masked" / "config.json")
+    )
+    assert back.mask_feature_prob == 0.25 and back.mask_feature_length == 12
+
+    with pytest.raises(ValueError, match="mask_feature_prob"):
+        Wav2Vec2Config(mask_feature_prob=1.5)
