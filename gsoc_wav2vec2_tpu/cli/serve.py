@@ -276,7 +276,7 @@ def make_handler(batcher: DynamicBatcher, processor, stats: dict):
                     body, self.headers.get("Content-Type", "")
                 )
                 qs = parse_qs(parsed.query).get("timestamps", [])
-                want_ts = want_ts or (
+                want_ts = want_ts or bool(
                     qs and qs[-1].lower() in ("1", "true", "yes")
                 )
                 if want_ts and not batcher.timestamps_supported:
