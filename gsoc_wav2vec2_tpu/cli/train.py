@@ -69,6 +69,12 @@ class TrainingArgs:
     # reproduces that update exactly on a single chip (SUM/division_factor
     # loss semantics make summed microbatch grads equal the big-batch grad).
     grad_accum: int = 1
+    # exponential moving average of the weights (0 = off).  With decay d,
+    # `ema <- d*ema + (1-d)*params` after every optimizer update; the final
+    # save then also writes `<run>/final_ema` — the online counterpart of
+    # `cli.average`'s offline tail averaging, a standard WER booster the
+    # reference lacks.  EMA restarts at each stage's initial params.
+    ema_decay: float = 0.0
     audio_maxlen: int = 246000  # multiple of 128 frames, `main.py:48-51`
     labels_maxlen: int = 256
     seed: int = 0
@@ -238,12 +244,13 @@ def run_stage(
     logger: MetricLogger,
     epochs: Optional[int] = None,
 ):
-    """One fine-tuning stage; returns the trained params."""
+    """One fine-tuning stage; returns `(params, ema_params)` —
+    `ema_params` is None unless `args.ema_decay > 0`."""
     epochs = epochs if epochs is not None else (
         args.stage1_epochs if stage == 1 else args.stage2_epochs
     )
     if epochs <= 0 or train_loader is None:
-        return params
+        return params, None
 
     global_batch = _global_batch(args)
     if stage == 1:
@@ -287,6 +294,13 @@ def run_stage(
         step=jax.device_put(jnp.zeros((), jnp.int32), repl),
         params=params,
         opt_state=jax.tree.map(_mesh_wide, jax.jit(tx.init)(params)),
+        # EMA shadow starts AT the initial params; jnp.copy under jit gives
+        # distinct buffers with the same shardings (the step donates the
+        # whole state — params and ema must not alias)
+        ema_params=(
+            jax.jit(lambda t: jax.tree.map(jnp.copy, t))(params)
+            if args.ema_decay > 0 else None
+        ),
     )
     ckpt = CheckpointManager(os.path.join(args.ckpt_dir, f"stage{stage}"))
     # checkpoint keys encode (completed epochs, mid-epoch updates) — see
@@ -307,7 +321,7 @@ def run_stage(
             )
     if start_epoch >= epochs:
         ckpt.close()
-        return state.params
+        return state.params, state.ema_params
 
     bucketed = bool(args.bucket_boundaries)
     accum = max(args.grad_accum, 1)
@@ -327,6 +341,7 @@ def run_stage(
         # gradients stop at the freeze boundary: bit-identical updates
         # (set_to_zero masks them anyway), much cheaper backward
         frozen=frozen,
+        ema_decay=args.ema_decay if args.ema_decay > 0 else None,
     )
     if accum == 1:
         step_fn = make_train_step(config, tx, **step_kwargs)
@@ -441,7 +456,7 @@ def run_stage(
         )
     ckpt.wait_until_finished()
     ckpt.close()
-    return state.params
+    return state.params, state.ema_params
 
 
 _EVAL_LOSS_CACHE: dict = {}
@@ -511,6 +526,8 @@ def main(args: TrainingArgs) -> None:
         )
     if args.grad_accum < 1:
         raise ValueError(f"--grad_accum must be >= 1, got {args.grad_accum}")
+    if not 0.0 <= args.ema_decay < 1.0:
+        raise ValueError(f"--ema_decay must be in [0, 1), got {args.ema_decay}")
     mesh = make_mesh(model=args.model_axis)
     print(f"mesh: {dict(mesh.shape)}, devices: {jax.device_count()}")
 
@@ -545,12 +562,15 @@ def main(args: TrainingArgs) -> None:
 
     install_preempt_handler()  # SIGTERM -> mid-epoch checkpoint + clean exit
     try:
+        ema_params = None
         for stage in (1, 2):
             print(f"=== stage {stage} ===")
-            params = run_stage(
+            params, stage_ema = run_stage(
                 stage=stage, args=args, config=config, params=params, mesh=mesh,
                 train_loader=train_loader, val_loader=val_loader, logger=logger,
             )
+            if stage_ema is not None:  # keep the last stage that actually ran
+                ema_params = stage_ema
     except PreemptExit:
         logger.finish()
         print("preempted: checkpoint saved; rerun with --resume", flush=True)
@@ -565,6 +585,12 @@ def main(args: TrainingArgs) -> None:
     final_dir = os.path.join(run_dir, "final")
     model.save_pretrained(final_dir)
     print(f"saved final model to {final_dir}")
+    if ema_params is not None:
+        ema_dir = os.path.join(run_dir, "final_ema")
+        Wav2Vec2ForCTC(config, params=jax.device_get(ema_params)).save_pretrained(
+            ema_dir
+        )
+        print(f"saved EMA model (decay {args.ema_decay}) to {ema_dir}")
     logger.finish()
 
 
@@ -590,6 +616,7 @@ def parse_args() -> TrainingArgs:
         ("stage1_lr", defaults.stage1_lr),
         ("stage2_lr1", defaults.stage2_lr1),
         ("stage2_lr2", defaults.stage2_lr2),
+        ("ema_decay", defaults.ema_decay),
     ):
         parser.add_argument(f"--{f_name}", type=float, default=f_def)
     parser.add_argument("--model_id", type=str, default=None)

@@ -51,9 +51,23 @@ def main() -> None:
         help="emit word-level start/end times and confidences (greedy "
              "decode only — beam search keeps no frame alignment)",
     )
+    parser.add_argument(
+        "--stream", action="store_true",
+        help="incremental transcription: feed the audio in --stream_chunk_s "
+             "pieces and print a JSON line per partial update (greedy only; "
+             "the final line equals the offline long-form transcript)",
+    )
+    parser.add_argument(
+        "--stream_chunk_s", type=float, default=2.0,
+        help="seconds of audio per simulated stream piece (with --stream)",
+    )
     args = parser.parse_args()
     if args.timestamps and args.beam_width > 0:
         parser.error("--timestamps requires greedy decoding (beam_width 0)")
+    if args.stream and args.beam_width > 0:
+        parser.error("--stream requires greedy decoding (beam_width 0)")
+    if args.stream and args.timestamps:
+        parser.error("--stream and --timestamps are mutually exclusive")
 
     lm = None
     if args.lm_path:
@@ -78,7 +92,28 @@ def main() -> None:
         if rate != args.sample_rate:
             raise ValueError(f"{path}: sample rate {rate} != {args.sample_rate}")
         speech = np.asarray(processor(audio), np.float32)
-        if args.timestamps:
+        if args.stream:
+            from ..streaming import StreamingTranscriber
+
+            st = StreamingTranscriber(
+                evaluator,
+                chunk_samples=args.chunk_samples,
+                context_samples=args.context_samples,
+            )
+            piece = max(1, int(args.stream_chunk_s * args.sample_rate))
+            last = ""
+            for lo in range(0, len(speech), piece):
+                partial = st.feed(speech[lo : lo + piece])
+                if partial != last:
+                    print(json.dumps({
+                        "file": path, "partial": partial,
+                        "t": round((lo + piece) / args.sample_rate, 2),
+                    }), flush=True)
+                    last = partial
+            print(json.dumps(
+                {"file": path, "transcription": st.finish()}
+            ))
+        elif args.timestamps:
             text, words = evaluator.transcribe_long_segments(
                 speech,
                 chunk_samples=args.chunk_samples,

@@ -28,6 +28,11 @@ class TrainState:
     step: jax.Array
     params: Any
     opt_state: Any
+    # Optional EMA shadow of `params` (None = disabled; a pytree when the
+    # step was built with `ema_decay`).  `None` is an empty pytree subtree,
+    # so states without EMA keep their checkpoint structure — Orbax
+    # checkpoints from pre-EMA runs restore unchanged.
+    ema_params: Any = None
 
 
 def trainable_mask(params, frozen_subtrees=()) -> Any:

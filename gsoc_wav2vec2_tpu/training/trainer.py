@@ -81,6 +81,19 @@ def _make_ctc_loss_fn(
     return loss_fn
 
 
+def _ema_update(ema_params, params, decay):
+    """One EMA step `ema <- decay*ema + (1-decay)*params` (classic Polyak
+    shadow weights — the online counterpart of `cli.average`'s offline tail
+    averaging; the reference has neither).  Accumulates in the parameter
+    dtype (float32 here), no bias correction: the shadow is initialised AT
+    the initial params, not at zero, so early steps are already unbiased."""
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params,
+        params,
+    )
+
+
 def make_train_step(
     config: Wav2Vec2Config,
     tx: optax.GradientTransformation,
@@ -93,6 +106,7 @@ def make_train_step(
     mesh=None,
     attention_impl: str = "auto",
     frozen: tuple = (),
+    ema_decay: float | None = None,
 ):
     """Build the jitted `(state, batch, rng) -> (state, metrics)` step.
 
@@ -109,6 +123,11 @@ def make_train_step(
     freeze boundary, so XLA never builds the frozen region's backward.
     Must match the optimizer mask (`optax.set_to_zero` keeps the parameter
     trajectory bit-identical either way; this just removes dead compute).
+
+    `ema_decay` maintains shadow weights in `state.ema_params`
+    (`ema <- decay*ema + (1-decay)*params` after each update); the state
+    must then carry an `ema_params` pytree (usually initialised to a copy
+    of the initial params).
     """
     loss_fn = _make_ctc_loss_fn(
         config,
@@ -127,7 +146,15 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        ema = (
+            _ema_update(state.ema_params, params, ema_decay)
+            if ema_decay is not None
+            else state.ema_params
+        )
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema,
+        )
         metrics = {"loss": loss, "grad_norm": global_norm(grads)}
         return new_state, metrics
 
@@ -146,6 +173,7 @@ def make_grad_accum_steps(
     mesh=None,
     attention_impl: str = "auto",
     frozen: tuple = (),
+    ema_decay: float | None = None,
 ):
     """Gradient accumulation: `(init_fn, accum_fn, apply_fn)`.
 
@@ -202,7 +230,15 @@ def make_grad_accum_steps(
     def apply_fn(state: TrainState, grads_acc, loss_acc):
         updates, opt_state = tx.update(grads_acc, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        ema = (
+            _ema_update(state.ema_params, params, ema_decay)
+            if ema_decay is not None
+            else state.ema_params
+        )
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema,
+        )
         metrics = {"loss": loss_acc, "grad_norm": global_norm(grads_acc)}
         return new_state, metrics
 
