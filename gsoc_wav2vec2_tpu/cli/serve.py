@@ -30,6 +30,20 @@ does):
           "start_frame", "end_frame", "confidence"}, ...]]}
       (word-level timestamps are greedy-decode only; a beam server
       answers 400 to timestamp requests)
+  POST /v1/stream                      (greedy servers only)
+      optional JSON {"chunk_samples": int, "context_samples": int,
+                     "normalize": "window" | "none"}
+      -> {"session": id, ...}          open an incremental session
+  POST /v1/stream/<id>
+      JSON {"audio": [float...]} | application/octet-stream of raw
+      little-endian float32 samples
+      -> {"partial": str, "samples_fed": int}
+      (`normalize: "window"` — the default — zscores each model window
+      over its real samples, for live sources; `"none"` expects
+      pre-normalized audio and then reproduces the offline
+      `transcribe_long` transcript exactly)
+  POST /v1/stream/<id>/finish
+      -> {"transcription": str, "audio_seconds": float}   closes the session
   GET /healthz
       -> {"status": "ok", "model": ..., "requests": N, ...}
 
@@ -212,6 +226,111 @@ class DynamicBatcher:
                     req.done.set()
 
 
+class StreamSessions:
+    """Registry of live `StreamingTranscriber` sessions.
+
+    Each session serializes its own feeds with a per-session lock (pieces
+    must commit in arrival order); different sessions may dispatch
+    concurrently — jitted calls are thread-safe and queue on the device.
+    Idle sessions expire lazily so abandoned streams can't pin memory."""
+
+    def __init__(
+        self,
+        evaluator: GreedyCTCEvaluator,
+        max_sessions: int = 64,
+        idle_timeout_s: float = 300.0,
+    ):
+        self.evaluator = evaluator
+        self.max_sessions = max_sessions
+        self.idle_timeout_s = idle_timeout_s
+        self.supported = evaluator.beam_width == 0
+        self._lock = threading.Lock()
+        self._sessions: dict[str, dict] = {}
+        self._counter = 0
+
+    def _purge_idle_locked(self) -> None:
+        now = time.monotonic()
+        for sid in [
+            s for s, e in self._sessions.items()
+            if now - e["last"] > self.idle_timeout_s
+        ]:
+            del self._sessions[sid]
+
+    def open(self, options: dict) -> str:
+        if not self.supported:
+            raise ValueError(
+                "streaming requires greedy decoding; this server runs beam "
+                "search (--beam_width > 0)"
+            )
+        from ..streaming import StreamingTranscriber
+
+        normalize = options.get("normalize", "window")
+        if normalize not in ("window", "none"):
+            raise ValueError('normalize must be "window" or "none"')
+        st = StreamingTranscriber(
+            self.evaluator,
+            chunk_samples=int(options.get("chunk_samples", 246000)),
+            context_samples=int(options.get("context_samples", 16000)),
+            normalize_window=(normalize == "window"),
+        )
+        with self._lock:
+            self._purge_idle_locked()
+            if len(self._sessions) >= self.max_sessions:
+                raise OverflowError(
+                    f"too many live streams (max {self.max_sessions})"
+                )
+            self._counter += 1
+            sid = f"s{self._counter:06d}-{int(time.time())}"
+            self._sessions[sid] = {
+                "st": st, "lock": threading.Lock(), "last": time.monotonic(),
+            }
+        return sid
+
+    def _entry(self, sid: str) -> dict:
+        with self._lock:
+            self._purge_idle_locked()
+            entry = self._sessions.get(sid)
+        if entry is None:
+            raise KeyError(f"unknown or expired stream session {sid!r}")
+        return entry
+
+    def feed(self, sid: str, samples: np.ndarray) -> dict:
+        entry = self._entry(sid)
+        with entry["lock"]:
+            partial = entry["st"].feed(samples)
+            entry["last"] = time.monotonic()
+            return {
+                "partial": partial,
+                "samples_fed": entry["st"].samples_fed,
+            }
+
+    def finish(self, sid: str) -> dict:
+        entry = self._entry(sid)
+        with entry["lock"]:
+            text = entry["st"].finish()
+            total = entry["st"].samples_fed
+        with self._lock:
+            self._sessions.pop(sid, None)
+        return {
+            "transcription": text,
+            "audio_seconds": round(total / 16000.0, 3),
+        }
+
+
+def _parse_stream_piece(body: bytes, content_type: str) -> np.ndarray:
+    """A stream piece: JSON {"audio": [...]} or raw little-endian float32."""
+    if content_type.startswith("application/json"):
+        payload = json.loads(body)
+        if "audio" not in payload:
+            raise ValueError('JSON body needs an "audio" array')
+        return np.asarray(payload["audio"], np.float32)
+    if len(body) % 4:
+        raise ValueError(
+            "octet-stream pieces must be raw little-endian float32 samples"
+        )
+    return np.frombuffer(body, dtype="<f4").astype(np.float32)
+
+
 def _parse_audio(body: bytes, content_type: str):
     """Raw request body -> (float32 waveform, want_timestamps).
 
@@ -242,7 +361,10 @@ def _parse_audio(body: bytes, content_type: str):
     return np.asarray(audio, np.float32), False
 
 
-def make_handler(batcher: DynamicBatcher, processor, stats: dict):
+def make_handler(
+    batcher: DynamicBatcher, processor, stats: dict,
+    streams: StreamSessions | None = None,
+):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -263,8 +385,44 @@ def make_handler(batcher: DynamicBatcher, processor, stats: dict):
                 return
             self._reply(200, {"status": "ok", **stats})
 
+        def _do_stream(self, parsed) -> None:
+            """/v1/stream routes: open / feed / finish."""
+            parts = parsed.path.strip("/").split("/")  # ["v1","stream",...]
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                if len(parts) == 2:  # open
+                    options = json.loads(body) if body else {}
+                    sid = streams.open(options)
+                    stats["streams"] += 1
+                    self._reply(200, {
+                        "session": sid,
+                        "chunk_samples": int(
+                            options.get("chunk_samples", 246000)
+                        ),
+                        "normalize": options.get("normalize", "window"),
+                    })
+                elif len(parts) == 3 and parts[2] != "finish":  # feed
+                    samples = _parse_stream_piece(
+                        body, self.headers.get("Content-Type", "")
+                    )
+                    self._reply(200, streams.feed(parts[2], samples))
+                elif len(parts) == 4 and parts[3] == "finish":
+                    self._reply(200, streams.finish(parts[2]))
+                else:
+                    self._reply(404, {"error": "not found"})
+            except KeyError as e:
+                self._reply(404, {"error": str(e).strip("'")})
+            except OverflowError as e:
+                self._reply(429, {"error": str(e)})
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+
         def do_POST(self) -> None:  # noqa: N802
             parsed = urlparse(self.path)
+            if streams is not None and parsed.path.startswith("/v1/stream"):
+                self._do_stream(parsed)
+                return
             if parsed.path != "/v1/transcribe":
                 self._reply(404, {"error": "not found"})
                 return
@@ -334,6 +492,14 @@ def main() -> None:
         help="skip startup compilation of the bucket shapes",
     )
     parser.add_argument(
+        "--max_streams", type=int, default=64,
+        help="maximum concurrent /v1/stream sessions",
+    )
+    parser.add_argument(
+        "--stream_idle_timeout_s", type=float, default=300.0,
+        help="idle seconds before an abandoned stream session expires",
+    )
+    parser.add_argument(
         "--sharded", action="store_true",
         help="shard each batch over ALL devices (data-parallel serving; "
              "same mesh plumbing as `cli.evaluate --sharded`)",
@@ -379,10 +545,19 @@ def main() -> None:
         "max_batch": args.max_batch,
         "beam_width": args.beam_width,
         "requests": 0,
+        "streams": 0,
     }
+    streams = StreamSessions(
+        evaluator,
+        max_sessions=args.max_streams,
+        idle_timeout_s=args.stream_idle_timeout_s,
+    )
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(batcher, Wav2Vec2Processor(is_tokenizer=False), stats),
+        make_handler(
+            batcher, Wav2Vec2Processor(is_tokenizer=False), stats,
+            streams=streams,
+        ),
     )
 
     def shutdown(signum, frame):  # noqa: ARG001

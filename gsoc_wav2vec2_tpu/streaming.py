@@ -57,6 +57,7 @@ class StreamingTranscriber:
         evaluator: GreedyCTCEvaluator,
         chunk_samples: int = 246000,
         context_samples: int = 16000,
+        normalize_window: bool = False,
     ):
         if evaluator.beam_width > 0:
             raise ValueError(
@@ -71,6 +72,13 @@ class StreamingTranscriber:
         self.ev = evaluator
         self.chunk = int(chunk_samples)
         self.context = int(context_samples)
+        # True: zero-mean/unit-variance each window over its REAL samples
+        # (the processor's zscore, `data/processor.py::_normalize`, applied
+        # per window) — for live sources where the full utterance's
+        # statistics don't exist yet.  False (default): the caller feeds
+        # already-normalized audio and `finish()` is bit-identical to the
+        # offline `transcribe_long`.
+        self.normalize_window = bool(normalize_window)
         # total stride of the conv stack: samples per output frame — the
         # frame grid every window start aligns to (`plan_chunks`)
         self.ts = int(np.prod(evaluator.config.strides))
@@ -130,6 +138,8 @@ class StreamingTranscriber:
             # short-audio path: one unpadded exact-shape decode, matching
             # transcribe_long's `len(audio) <= chunk_samples` branch
             audio = self._buf[: self._total]
+            if self.normalize_window and self._total:
+                audio = (audio - audio.mean()) / np.sqrt(audio.var() + 1e-5)
             text = (
                 self.ev.predict_batch(audio[None, :])[0]
                 if self._total
@@ -192,6 +202,8 @@ class StreamingTranscriber:
         assert lo >= 0, "window start was trimmed from the buffer"
         chunk = self._buf[lo : lo + self.chunk]
         true_len = len(chunk)
+        if self.normalize_window and true_len:
+            chunk = (chunk - chunk.mean()) / np.sqrt(chunk.var() + 1e-5)
         if true_len < self.chunk:
             chunk = np.pad(chunk, (0, self.chunk - true_len))
         ev = self.ev

@@ -8,48 +8,72 @@ surprises live.  These tests run ONE optimizer step of the real base and
 robust configs on the virtual 4×2 CPU mesh (tiny audio keeps compute
 small; parameter/sharding geometry is the real thing).  Mirrors the
 reference's v3-8 recipe (`/root/reference/src/main.py:139-156`).
+
+Each geometry runs in a FRESH subprocess: in-process, the robust-317M
+step aborted ("Fatal Python error: Aborted" during the loss readback)
+when ~70 earlier suite tests had already filled the process with compiled
+programs — the same step passes standalone, so the geometry is fine and
+the isolation is load-bearing, not cosmetic.  This also matches how the
+driver itself runs these configs (`__graft_entry__.py` as a subprocess).
 """
+
+import os
+import subprocess
+import sys
 
 import pytest
 
-from gsoc_wav2vec2_tpu import RobustWav2Vec2Config, Wav2Vec2Config
+_SNIPPET = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "_graft_entry", "/root/repo/__graft_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
 from gsoc_wav2vec2_tpu.parallel import make_mesh
+mesh = make_mesh(data=4, model=2)
+{body}
+"""
 
 
-def _entry_module():
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "_graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+def _run(body: str, timeout: int = 1500) -> str:
+    env = dict(
+        os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
     )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-def _dryrun_step(*args, **kwargs):
-    return _entry_module()._dryrun_step(*args, **kwargs)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    result = subprocess.run(
+        [sys.executable, "-c", _SNIPPET.format(body=body)],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=timeout,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    return result.stdout
 
 
 @pytest.mark.slow
 def test_base_95m_train_step_on_8_device_mesh():
-    mesh = make_mesh(data=4, model=2)
-    loss = _dryrun_step(
-        Wav2Vec2Config(), mesh, audio_len=16000, batch_per_replica=2,
-        with_attention_mask=False, remat="dots", label="base-95M(pytest)",
+    out = _run(
+        "from gsoc_wav2vec2_tpu import Wav2Vec2Config\n"
+        "loss = mod._dryrun_step(Wav2Vec2Config(), mesh, audio_len=16000,\n"
+        "    batch_per_replica=2, with_attention_mask=False, remat='dots',\n"
+        "    label='base-95M(pytest)')\n"
+        "assert loss > 0"
     )
-    assert loss > 0
+    assert "base-95M(pytest)" in out and "OK" in out
 
 
 @pytest.mark.slow
 def test_robust_317m_train_step_on_8_device_mesh():
-    mesh = make_mesh(data=4, model=2)
-    loss = _dryrun_step(
-        RobustWav2Vec2Config(), mesh, audio_len=16000, batch_per_replica=1,
-        with_attention_mask=True, remat="dots", label="robust-317M(pytest)",
+    out = _run(
+        "from gsoc_wav2vec2_tpu import RobustWav2Vec2Config\n"
+        "loss = mod._dryrun_step(RobustWav2Vec2Config(), mesh,\n"
+        "    audio_len=16000, batch_per_replica=1, with_attention_mask=True,\n"
+        "    remat='dots', label='robust-317M(pytest)')\n"
+        "assert loss > 0"
     )
-    assert loss > 0
+    assert "robust-317M(pytest)" in out and "OK" in out
 
 
 @pytest.mark.slow
@@ -57,7 +81,8 @@ def test_pretraining_base_geometry_step_on_8_device_mesh():
     """Full base-geometry self-supervised pretraining (95M backbone + the
     2x320 quantizer, contrastive objective) through one sharded optimizer
     step on the 4x2 mesh."""
-    mesh = make_mesh(data=4, model=2)
-    _entry_module()._dryrun_pretrain_step(
-        mesh, 8, config=None, audio_len=16000, label="pretrain-base(pytest)"
+    out = _run(
+        "mod._dryrun_pretrain_step(mesh, 8, config=None, audio_len=16000,\n"
+        "    label='pretrain-base(pytest)')"
     )
+    assert "pretrain-base(pytest)" in out and "OK" in out

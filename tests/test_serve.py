@@ -330,3 +330,148 @@ def test_sharded_server_batches_over_mesh(tmp_path):
         assert max(out["batched_with"] for _, out in results) >= 2
     finally:
         _kill_server(proc)
+
+
+# -- streaming sessions (/v1/stream) ----------------------------------------
+
+
+def _open_stream(base, **options):
+    return _post(
+        base + "/v1/stream",
+        json.dumps(options).encode() if options else b"",
+        "application/json",
+    )
+
+
+def _feed_json(base, sid, samples):
+    return _post(
+        base + f"/v1/stream/{sid}",
+        json.dumps({"audio": np.asarray(samples, np.float32).tolist()}).encode(),
+        "application/json",
+    )
+
+
+def test_stream_session_piecewise_equals_one_piece(server):
+    """Two sessions over the same audio — many small feeds vs one big feed —
+    must commit the identical final transcript, with monotone partials."""
+    base = server["base"]
+    audio = np.random.default_rng(7).standard_normal(9500).astype(np.float32)
+    opts = dict(chunk_samples=3000, context_samples=500, normalize="none")
+
+    code, opened = _open_stream(base, **opts)
+    assert code == 200, opened
+    sid = opened["session"]
+    partials = []
+    for lo in range(0, len(audio), 1300):
+        code, out = _feed_json(base, sid, audio[lo : lo + 1300])
+        assert code == 200, out
+        partials.append(out["partial"])
+    assert out["samples_fed"] == len(audio)
+    code, fin = _post(base + f"/v1/stream/{sid}/finish", b"", "application/json")
+    assert code == 200 and fin["audio_seconds"] == round(9500 / 16000, 3)
+    for a, b in zip(partials, partials[1:] + [fin["transcription"]]):
+        assert b.startswith(a)
+
+    code, opened2 = _open_stream(base, **opts)
+    sid2 = opened2["session"]
+    code, _ = _feed_json(base, sid2, audio)
+    code, fin2 = _post(
+        base + f"/v1/stream/{sid2}/finish", b"", "application/json"
+    )
+    assert fin2["transcription"] == fin["transcription"]
+    assert fin["transcription"], "random-weights argmax should be non-empty"
+
+
+def test_stream_octet_pieces_match_json_pieces(server):
+    base = server["base"]
+    audio = np.random.default_rng(9).standard_normal(7000).astype(np.float32)
+    opts = dict(chunk_samples=3000, context_samples=500, normalize="none")
+    finals = []
+    for mode in ("json", "octet"):
+        code, opened = _open_stream(base, **opts)
+        sid = opened["session"]
+        for lo in range(0, len(audio), 2000):
+            piece = audio[lo : lo + 2000]
+            if mode == "json":
+                code, out = _feed_json(base, sid, piece)
+            else:
+                code, out = _post(
+                    base + f"/v1/stream/{sid}",
+                    piece.astype("<f4").tobytes(),
+                    "application/octet-stream",
+                )
+            assert code == 200, out
+        code, fin = _post(
+            base + f"/v1/stream/{sid}/finish", b"", "application/json"
+        )
+        finals.append(fin["transcription"])
+    assert finals[0] == finals[1]
+
+
+def test_stream_window_normalization_default(server):
+    """Default normalize="window": raw (unnormalized) audio still decodes;
+    the session stays usable across feeds."""
+    base = server["base"]
+    raw = (
+        3000.0
+        * np.sin(np.arange(9500) / 5.0).astype(np.float32)
+    )
+    code, opened = _open_stream(base, chunk_samples=3000, context_samples=500)
+    assert code == 200 and opened["normalize"] == "window"
+    sid = opened["session"]
+    for lo in range(0, len(raw), 4000):
+        code, out = _feed_json(base, sid, raw[lo : lo + 4000])
+        assert code == 200, out
+    code, fin = _post(base + f"/v1/stream/{sid}/finish", b"", "application/json")
+    assert code == 200 and isinstance(fin["transcription"], str)
+
+
+def test_stream_error_paths(server):
+    base = server["base"]
+    # unknown session
+    code, out = _feed_json(base, "s999999-0", np.zeros(10))
+    assert code == 404 and "unknown" in out["error"]
+    # bad normalize option
+    code, out = _open_stream(base, normalize="global")
+    assert code == 400
+    # misaligned octet body
+    code, opened = _open_stream(base)
+    sid = opened["session"]
+    code, out = _post(
+        base + f"/v1/stream/{sid}", b"\x00\x01\x02",
+        "application/octet-stream",
+    )
+    assert code == 400 and "float32" in out["error"]
+    # finish closes the session: second finish is a 404
+    code, _ = _post(base + f"/v1/stream/{sid}/finish", b"", "application/json")
+    assert code == 200
+    code, out = _post(base + f"/v1/stream/{sid}/finish", b"", "application/json")
+    assert code == 404
+    # health reports the stream counter
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        assert json.loads(resp.read())["streams"] >= 1
+
+
+def test_stream_sessions_reject_beam_at_unit_level():
+    """StreamSessions.open refuses beam evaluators (HTTP layer maps the
+    ValueError to a 400) — unit-level so no extra server spawn."""
+    import jax
+
+    from gsoc_wav2vec2_tpu.cli.serve import StreamSessions
+    from gsoc_wav2vec2_tpu.evaluation import GreedyCTCEvaluator
+    from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
+
+    config = Wav2Vec2Config(**TINY)
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
+    sessions = StreamSessions(
+        GreedyCTCEvaluator(config, params, beam_width=4)
+    )
+    with pytest.raises(ValueError, match="greedy"):
+        sessions.open({})
+    # capacity guard
+    greedy = StreamSessions(
+        GreedyCTCEvaluator(config, params), max_sessions=1
+    )
+    greedy.open({})
+    with pytest.raises(OverflowError, match="too many"):
+        greedy.open({})
