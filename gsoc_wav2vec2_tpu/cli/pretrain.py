@@ -74,6 +74,9 @@ class PretrainingArgs:
     # large effective batches (the paper's base recipe spans 64 GPUs);
     # accumulation reaches that on any mesh size
     grad_accum: int = 1
+    # EMA shadow weights (0 = off) — same semantics as cli.train: the
+    # exported fine-tune-ready backbone gets a `for_ctc_ema/` sibling
+    ema_decay: float = 0.0
     audio_maxlen: int = 246000
     # LR-decay horizon override; 0 = epochs x steps-per-epoch when the
     # loader can count its stream, else the paper recipe's 500k steps
@@ -210,10 +213,16 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
             return jax.device_put(x, repl)
         return x
 
+    if not 0.0 <= args.ema_decay < 1.0:
+        raise ValueError(f"--ema_decay must be in [0, 1), got {args.ema_decay}")
     state = TrainState(
         step=jax.device_put(jnp.zeros((), jnp.int32), repl),
         params=params,
         opt_state=jax.tree.map(_mesh_wide, jax.jit(tx.init)(params)),
+        ema_params=(
+            jax.jit(lambda t: jax.tree.map(jnp.copy, t))(params)
+            if args.ema_decay > 0 else None
+        ),
     )
     if args.resume is not None:
         # continue inside the previous run's checkpoint dir (same contract
@@ -243,6 +252,7 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
         remat=(args.remat_policy if args.remat_policy != "full" else True)
         if args.remat else False,
         mesh=mesh,
+        ema_decay=args.ema_decay if args.ema_decay > 0 else None,
     )
     if accum == 1:
         step_fn = make_pretrain_step(config, tx, **step_kwargs)
@@ -408,6 +418,21 @@ def main(args: PretrainingArgs, config: Optional[Wav2Vec2PretrainingConfig] = No
         ctc = Wav2Vec2ForCTC(ctc_config, params=ctc_params)
         ctc.save_pretrained(out_dir)
         print(f"saved fine-tune-ready model to {out_dir}")
+        if state.ema_params is not None:
+            ema_dir = os.path.join(args.ckpt_dir, "for_ctc_ema")
+            # the SAME head init rng: the EMA export differs from for_ctc
+            # only in the backbone weights, never in the fresh CTC head
+            ema_ctc_params = ctc_params_from_pretraining(
+                jax.device_get(state.ema_params), ctc_config,
+                jax.random.PRNGKey(args.seed + 2),
+            )
+            Wav2Vec2ForCTC(
+                ctc_config, params=ema_ctc_params
+            ).save_pretrained(ema_dir)
+            print(
+                f"saved EMA (decay {args.ema_decay}) fine-tune-ready model "
+                f"to {ema_dir}"
+            )
     logger.finish()
 
 
@@ -425,7 +450,7 @@ def parse_args() -> PretrainingArgs:
     for f_name, f_def in (
         ("lr", 5e-4), ("weight_decay", 0.01), ("gumbel_temp_max", 2.0),
         ("gumbel_temp_min", 0.5), ("gumbel_temp_decay", 0.999995),
-        ("mask_time_prob", 0.65),
+        ("mask_time_prob", 0.65), ("ema_decay", 0.0),
     ):
         parser.add_argument(f"--{f_name}", type=float, default=f_def)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")

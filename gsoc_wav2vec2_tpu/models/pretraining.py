@@ -419,6 +419,7 @@ def make_pretrain_step(
     remat: bool = True,
     mesh=None,
     attention_impl: str = "auto",
+    ema_decay=None,
 ):
     """Jitted `(state, batch, rng, gumbel_temperature) -> (state, metrics)`.
 
@@ -447,7 +448,17 @@ def make_pretrain_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        from ..training.trainer import _ema_update
+
+        ema = (
+            _ema_update(state.ema_params, params, ema_decay)
+            if ema_decay is not None
+            else state.ema_params
+        )
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema,
+        )
         # parts carries the UNdivided sums; "loss" is the optimized
         # (division_factor-normalised) objective
         metrics = {**parts, "loss": loss}
@@ -466,6 +477,7 @@ def make_pretrain_accum_steps(
     remat: bool = True,
     mesh=None,
     attention_impl: str = "auto",
+    ema_decay=None,
 ):
     """Gradient accumulation for pretraining: `(init_fn, accum_fn, apply_fn)`.
 
@@ -520,11 +532,19 @@ def make_pretrain_accum_steps(
         return grads_acc, metrics_acc
 
     def apply_fn(state: TrainState, grads_acc, metrics_acc):
-        from ..training.trainer import global_norm
+        from ..training.trainer import _ema_update, global_norm
 
         updates, opt_state = tx.update(grads_acc, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        ema = (
+            _ema_update(state.ema_params, params, ema_decay)
+            if ema_decay is not None
+            else state.ema_params
+        )
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema,
+        )
         metrics = {**metrics_acc, "grad_norm": global_norm(grads_acc)}
         return new_state, metrics
 

@@ -215,3 +215,49 @@ def test_train_cli_ema_end_to_end(tmp_path):
         for a, b in zip(jax.tree.leaves(final.params), jax.tree.leaves(ema.params))
     ]
     assert max(diffs) > 0, "EMA weights should differ from raw weights"
+
+
+def test_pretrain_step_updates_ema():
+    """make_pretrain_step(ema_decay=...): the shadow follows the same
+    d*e + (1-d)*params recursion as the CTC trainer's."""
+    import optax
+
+    from tests.utils import tiny_pretraining_config
+
+    from gsoc_wav2vec2_tpu.models.pretraining import (
+        init_wav2vec2_for_pretraining_params,
+        make_pretrain_step,
+    )
+    from gsoc_wav2vec2_tpu.ops.specaugment import compute_mask_indices
+
+    config = tiny_pretraining_config()
+    params = init_wav2vec2_for_pretraining_params(jax.random.PRNGKey(0), config)
+    tx = optax.adamw(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+    step = make_pretrain_step(
+        config, tx, division_factor=2.0, compute_dtype=jnp.float32,
+        remat=False, ema_decay=DECAY,
+    )
+    frames = int(config.conv_output_length(2000))
+    rng = jax.random.PRNGKey(3)
+    batch = {
+        "speech": jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 2000)), jnp.float32
+        ),
+        "mask_time_indices": compute_mask_indices(rng, 2, frames, 0.5, 2),
+    }
+    shadow = jax.tree.map(np.asarray, state.params)
+    for k in range(2):
+        state, metrics = step(state, dict(batch), rng, jnp.float32(2.0))
+        shadow = jax.tree.map(
+            lambda e, p: (DECAY * e + (1 - DECAY) * np.asarray(p)).astype(e.dtype),
+            shadow, state.params,
+        )
+    assert np.isfinite(float(metrics["loss"]))
+    for got, want in zip(
+        jax.tree.leaves(state.ema_params), jax.tree.leaves(shadow)
+    ):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-6, atol=1e-7)

@@ -115,3 +115,44 @@ def test_finetune_example(tmp_path):
     assert os.path.isfile(
         os.path.join(str(tmp_path / "ckpts"), runs[0], "final", "config.json")
     )
+
+
+def test_streaming_client_example(tmp_path):
+    """examples/streaming_client.py against a live server: partial lines,
+    then a final JSON transcription."""
+    import json
+    import wave
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_serve import _kill_server, _spawn_server
+
+    model_dir = _tiny_model_dir(tmp_path)
+    wav = str(tmp_path / "clip.wav")
+    sig = np.clip(
+        3000 * np.sin(np.arange(9500) / 5.0)
+        + np.random.default_rng(0).integers(-300, 300, 9500),
+        -32768, 32767,
+    ).astype(np.int16)
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    proc, base = _spawn_server(model_dir)
+    try:
+        result = subprocess.run(
+            [
+                sys.executable, "examples/streaming_client.py",
+                "--server", base, "--file", wav, "--piece_s", "0.1",
+                "--chunk_samples", "3000", "--context_samples", "500",
+            ],
+            capture_output=True, text=True, env=_env(), cwd="/root/repo",
+            timeout=600,
+        )
+    finally:
+        _kill_server(proc)
+    assert result.returncode == 0, result.stderr[-2000:]
+    final = json.loads(result.stdout.strip().splitlines()[-1])
+    assert isinstance(final["transcription"], str)
+    assert final["audio_seconds"] == round(9500 / 16000, 3)

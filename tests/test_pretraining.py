@@ -241,6 +241,7 @@ def test_pretrain_cli_end_to_end(tmp_path):
             "--model_axis", "2", "--grad_accum", "2",
             "--audio_maxlen", "6000", "--mask_time_length", "2",
             "--warmup_steps", "4", "--lr", "1e-4",
+            "--ema_decay", "0.5",
             "--logging_steps", "1", "--compute_dtype", "float32",
             "--ckpt_dir", ckpt_dir, "--log_dir", log_dir,
         ],
@@ -267,6 +268,23 @@ def test_pretrain_cli_end_to_end(tmp_path):
     ctc = Wav2Vec2ForCTC.from_pretrained(os.path.join(ckpt_dir, "for_ctc"))
     out = ctc(np.zeros((1, 6000), np.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+    # --ema_decay also exports the EMA backbone: same fresh CTC head (same
+    # init rng), different (averaged) backbone weights
+    ema = Wav2Vec2ForCTC.from_pretrained(os.path.join(ckpt_dir, "for_ctc_ema"))
+    np.testing.assert_array_equal(
+        np.asarray(ema.params["lm_head"]["kernel"]),
+        np.asarray(ctc.params["lm_head"]["kernel"]),
+    )
+    backbone_diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(ema.params["wav2vec2"]),
+            jax.tree.leaves(ctc.params["wav2vec2"]),
+        )
+    ]
+    assert max(backbone_diffs) > 0
+    assert np.isfinite(np.asarray(ema(np.zeros((1, 6000), np.float32)))).all()
 
 
 def test_pretrain_cli_tfrecords_and_resume_refusal(tmp_path):
