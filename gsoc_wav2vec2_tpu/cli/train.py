@@ -79,6 +79,11 @@ class TrainingArgs:
     labels_maxlen: int = 256
     seed: int = 0
     logging_steps: int = 16
+    # capture a jax.profiler trace (TensorBoard/Perfetto) of N optimizer
+    # updates per stage, starting at the 2nd update so compilation is
+    # excluded; written to <log_dir>/trace.  The reference has no profiler
+    # at all (SURVEY §5).
+    profile_steps: int = 0
 
     # checkpoint cadence in epochs (reference: every epoch,
     # `training_utils.py:38-45`); the final epoch always checkpoints
@@ -353,6 +358,29 @@ def run_stage(
 
     step_count = int(jax.device_get(state.step))
     interrupted = False
+    # --profile_steps: trace updates [2, 2+N) of this stage (update 1
+    # compiles); stopped via try/finally so an interrupt/preemption
+    # mid-capture still writes a valid trace
+    prof_pending = args.profile_steps if args.profile_steps > 0 else 0
+    prof_active = False
+    prof_dir = os.path.join(args.log_dir, "trace")
+
+    def _profile_tick(updates_done: int, metrics) -> None:
+        nonlocal prof_pending, prof_active
+        if not prof_pending:
+            return
+        if not prof_active and updates_done >= 1:
+            jax.profiler.start_trace(prof_dir)
+            prof_active = True
+            return
+        if prof_active:
+            prof_pending -= 1
+            if prof_pending <= 0:
+                float(metrics["loss"])  # force completion before stopping
+                jax.profiler.stop_trace()
+                prof_active = False
+                print(f"stage {stage}: profiler trace written to {prof_dir}")
+
     for epoch in range(start_epoch, epochs):
         lr = stage_lr(epoch)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
@@ -394,6 +422,7 @@ def run_stage(
                     state, metrics = apply_fn(state, grads_acc, loss_acc)
                 epoch_updates += 1
                 step_count += 1
+                _profile_tick(epoch_updates, metrics)
                 if step_count % args.logging_steps == 0:
                     logger.log(
                         {f"stage{stage}/loss": float(metrics["loss"]),
@@ -403,6 +432,9 @@ def run_stage(
                         step=step_count,
                     )
                 if _preempt_consensus(epoch_updates, args.preempt_sync_updates):
+                    if prof_active:
+                        jax.profiler.stop_trace()
+                        prof_active = False
                     key = epoch * _CKPT_STRIDE + epoch_updates
                     ckpt.save(key, state, wait=True)
                     ckpt.close()
@@ -454,6 +486,9 @@ def run_stage(
             {f"stage{stage}/epoch_time": time.time() - epoch_start, "epoch": epoch},
             step=step_count,
         )
+    if prof_active:  # stage ended (or was interrupted) before N updates
+        jax.profiler.stop_trace()
+        print(f"stage {stage}: profiler trace written to {prof_dir}")
     ckpt.wait_until_finished()
     ckpt.close()
     return state.params, state.ema_params
@@ -609,6 +644,7 @@ def parse_args() -> TrainingArgs:
         ("logging_steps", defaults.logging_steps),
         ("ckpt_every_epochs", defaults.ckpt_every_epochs),
         ("preempt_sync_updates", defaults.preempt_sync_updates),
+        ("profile_steps", defaults.profile_steps),
         ("model_axis", defaults.model_axis),
     ):
         parser.add_argument(f"--{f_name}", type=int, default=f_def)

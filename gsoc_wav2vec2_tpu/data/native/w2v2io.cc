@@ -348,7 +348,7 @@ void* w2v2_reader_open_buffer(const void* data, int64_t len) {
 // Reads the next record.  Returns 1 on success, 0 on EOF, -1 on corruption.
 // Pointers remain valid until the next call / close.
 int w2v2_reader_next(void* handle, const float** speech, int64_t* slen,
-                     const int32_t** label, int64_t* llen) {
+                     const int32_t** label, int64_t* llen) try {
   auto* r = (TFRecordReader*)handle;
   uint8_t len_bytes[8];
   size_t got = fread(len_bytes, 1, 8, r->f);
@@ -383,6 +383,8 @@ int w2v2_reader_next(void* handle, const float** speech, int64_t* slen,
   *label = r->label.data();
   *llen = (int64_t)r->label.size();
   return 1;
+} catch (...) {
+  return -1;  // a CRC-valid crafted length can still exceed memory
 }
 
 void w2v2_reader_close(void* handle) {
@@ -404,8 +406,10 @@ extern "C" {
 
 // Returns number of samples (per channel) on success, -1 on failure.
 // *out is malloc'd float32, caller frees via w2v2_free.
+// function-try-block: no exception (e.g. bad_alloc on a crafted header) may
+// cross the C ABI — callers see a plain -1 failure instead of an abort
 int64_t w2v2_decode_wav_buffer(const void* data_in, int64_t len, float** out,
-                               int* sample_rate, int* channels) {
+                               int* sample_rate, int* channels) try {
   const uint8_t* bytes = (const uint8_t*)data_in;
   int64_t sz = len;
   std::vector<uint8_t> buf(bytes, bytes + (sz > 0 ? sz : 0));
@@ -420,7 +424,10 @@ int64_t w2v2_decode_wav_buffer(const void* data_in, int64_t len, float** out,
     uint32_t chunk_len;
     memcpy(&chunk_len, buf.data() + pos + 4, 4);
     const uint8_t* chunk = buf.data() + pos + 8;
-    if (!memcmp(buf.data() + pos, "fmt ", 4) && chunk_len >= 16) {
+    // declared chunk length must actually be present — a truncated file
+    // with a full-size header would otherwise be read past the buffer
+    if (!memcmp(buf.data() + pos, "fmt ", 4) && chunk_len >= 16 &&
+        pos + 8 + 16 <= (size_t)sz) {
       uint16_t v16;
       memcpy(&v16, chunk, 2); audio_format = v16;
       memcpy(&v16, chunk + 2, 2); fmt_channels = v16;
@@ -437,7 +444,8 @@ int64_t w2v2_decode_wav_buffer(const void* data_in, int64_t len, float** out,
   if (!data || audio_format != 1 || bits != 16 || fmt_channels < 1) return -1;
 
   int64_t n = (int64_t)(data_len / 2) / fmt_channels;
-  float* res = (float*)malloc(n * sizeof(float));
+  float* res = (float*)malloc((n ? n : 1) * sizeof(float));
+  if (!res) return -1;
   for (int64_t i = 0; i < n; i++) {
     int16_t s;
     memcpy(&s, data + (i * fmt_channels) * 2, 2);  // first channel
@@ -447,6 +455,8 @@ int64_t w2v2_decode_wav_buffer(const void* data_in, int64_t len, float** out,
   *sample_rate = rate;
   *channels = fmt_channels;
   return n;
+} catch (...) {
+  return -1;
 }
 
 int64_t w2v2_decode_wav(const char* path, float** out, int* sample_rate,
@@ -457,6 +467,7 @@ int64_t w2v2_decode_wav(const char* path, float** out, int* sample_rate,
   fseek(f, 0, SEEK_END);
   long sz = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (sz < 0) { fclose(f); return -1; }
   buf.resize(sz);
   if (fread(buf.data(), 1, sz, f) != (size_t)sz) { fclose(f); return -1; }
   fclose(f);
@@ -564,6 +575,9 @@ struct Decoder {
     if (br.bits(1)) {  // wasted bits flag
       wasted = 1 + (int)br.unary();
       bps -= wasted;
+      // a valid stream wastes fewer bits than the sample width; a corrupt
+      // unary run would otherwise drive bps negative / the <<= into UB
+      if (wasted >= 32 || bps <= 0) return false;
     }
     out.assign(blocksize, 0);
 
@@ -649,7 +663,7 @@ extern "C" {
 // Decodes a FLAC stream to float32 (scaled by 1 / 2^(bps-1), first channel).
 // Returns sample count per channel, or -1 on failure.
 int64_t w2v2_decode_flac_buffer(const void* data, int64_t len, float** out,
-                                int* sample_rate, int* channels) {
+                                int* sample_rate, int* channels) try {
   const uint8_t* bytes = (const uint8_t*)data;
   int64_t sz = len;
   std::vector<uint8_t> buf(bytes, bytes + (sz > 0 ? sz : 0));
@@ -690,7 +704,17 @@ int64_t w2v2_decode_flac_buffer(const void* data, int64_t len, float** out,
   if (si_channels < 1 || si_channels > 8 || si_bps < 4) return -1;
 
   std::vector<float> samples;
-  if (total_samples) samples.reserve((size_t)total_samples);
+  // reserve is only a hint — clamp it so a crafted 36-bit STREAMINFO count
+  // cannot force a terabyte-scale allocation before any audio is decoded
+  if (total_samples)
+    samples.reserve((size_t)(total_samples < (1ull << 24) ? total_samples
+                                                          : (1ull << 24)));
+  // decompression-bomb guard: a CONSTANT frame emits 65536 samples from
+  // ~14 bytes (~4700/byte); anything past 8192 samples/byte is malformed
+  // one block of slack over the declared count: a final frame may overshoot
+  // slightly (trimmed below, as before)
+  const uint64_t max_out =
+      (total_samples ? total_samples : (uint64_t)sz * 8192) + 65536;
   flac::Decoder dec;
   double scale = 1.0 / (double)(1ll << (si_bps - 1));
 
@@ -763,6 +787,7 @@ int64_t w2v2_decode_flac_buffer(const void* data, int64_t len, float** out,
       }
     }
 
+    if (samples.size() + (size_t)blocksize > max_out) return -1;
     for (int i = 0; i < blocksize; i++)
       samples.push_back((float)(dec.ch[0][i] * scale));  // first channel
 
@@ -771,12 +796,16 @@ int64_t w2v2_decode_flac_buffer(const void* data, int64_t len, float** out,
   if (total_samples && samples.size() > total_samples)
     samples.resize(total_samples);
 
-  float* res = (float*)malloc(samples.size() * sizeof(float));
+  float* res = (float*)malloc((samples.empty() ? 1 : samples.size()) *
+                              sizeof(float));
+  if (!res) return -1;
   memcpy(res, samples.data(), samples.size() * sizeof(float));
   *out = res;
   *sample_rate = si_rate;
   *channels = si_channels;
   return (int64_t)samples.size();
+} catch (...) {
+  return -1;
 }
 
 int64_t w2v2_decode_flac(const char* path, float** out, int* sample_rate,
@@ -787,6 +816,7 @@ int64_t w2v2_decode_flac(const char* path, float** out, int* sample_rate,
   fseek(f, 0, SEEK_END);
   long sz = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (sz < 0) { fclose(f); return -1; }
   buf.resize(sz);
   if (fread(buf.data(), 1, sz, f) != (size_t)sz) { fclose(f); return -1; }
   fclose(f);

@@ -498,6 +498,81 @@ class GreedyCTCEvaluator:
             frame_seconds=self.frame_seconds,
         )
 
+    def align_segments(
+        self,
+        audio: np.ndarray,
+        transcript: str,
+        chunk_samples: int = 246000,
+        context_samples: int = 16000,
+    ):
+        """Forced alignment: word timestamps for a KNOWN transcript.
+
+        Where `predict_segments` times whatever the model transcribes,
+        this times the words the caller asserts were said — the standard
+        wav2vec2 alignment use (subtitles, karaoke, corpus segmentation;
+        no reference analog).  The per-frame log-softmax is computed on
+        device (long audio via the same `plan_chunks` tiling as
+        `transcribe_long`, so frame indices are global), then
+        `decoding.ctc_forced_align` finds the max-probability CTC path
+        that collapses to the transcript, and the word segmentation +
+        timing conventions are shared with `predict_segments` (the path
+        IS a greedy-style frame path by construction).
+
+        Returns `(text, words)`: `text` is the normalised transcript the
+        alignment used; `words` carry start/end seconds, frames, and a
+        per-word confidence (mean per-frame probability of the aligned
+        characters).  Raises ValueError if the transcript has more
+        symbols than the audio has frames to emit them.
+        """
+        from .decoding import ctc_forced_align, ctc_word_segments
+
+        label_ids = self.tokenizer(" ".join(transcript.split()))
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim != 1:
+            raise ValueError(f"align_segments takes one utterance, got {audio.shape}")
+
+        logp: List[np.ndarray] = []
+        if len(audio) <= chunk_samples:
+            speech, lengths = self._pad_rows(
+                audio[None, :], np.asarray([len(audio)], np.int64)
+            )
+            out, frame_lengths = self._device_outputs(
+                speech, lengths, mode="logprobs"
+            )
+            logp.append(out[0, : frame_lengths[0]])
+        else:
+            plan = plan_chunks(
+                len(audio), chunk_samples, context_samples,
+                self.config.conv_output_length,
+                total_stride=int(np.prod(self.config.strides)),
+            )
+            for start, keep_lo, keep_hi in plan:
+                chunk = audio[start : start + chunk_samples]
+                true_len = len(chunk)
+                if true_len < chunk_samples:
+                    chunk = np.pad(chunk, (0, chunk_samples - true_len))
+                speech, lengths = self._pad_rows(
+                    chunk[None, :], np.asarray([true_len], np.int64)
+                )
+                out, _ = self._device_outputs(speech, lengths, mode="logprobs")
+                logp.append(out[0, keep_lo:keep_hi])
+        log_probs = np.concatenate(logp, axis=0)
+
+        path, _ = ctc_forced_align(
+            log_probs, label_ids, blank_id=self.config.pad_id
+        )
+        frame_probs = np.exp(
+            log_probs[np.arange(len(path)), path].astype(np.float64)
+        )
+        return ctc_word_segments(
+            path,
+            frame_probs=frame_probs,
+            pad_id=self.config.pad_id,
+            delimiter_id=self.tokenizer.delimiter_id,
+            id_to_token=self.tokenizer.id_to_token_mapping,
+            frame_seconds=self.frame_seconds,
+        )
+
     def evaluate_padded(
         self,
         samples: Iterable[Tuple[np.ndarray, str]],

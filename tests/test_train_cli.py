@@ -96,11 +96,23 @@ def test_train_cli_end_to_end(corpus, tiny_model_dir, tmp_path):
             "--model_axis", "4",
             "--ckpt_dir", ckpt_dir,
             "--log_dir", log_dir,
+            # capture one profiled update (the reference has no profiler;
+            # SURVEY §5) — also proves tracing survives the accum path
+            "--profile_steps", "1",
         ],
         capture_output=True, text=True, env=env, cwd="/root/repo", timeout=900,
     )
     assert result.returncode == 0, result.stderr[-3000:]
     assert "test loss:" in result.stdout
+
+    # the profiler wrote a TensorBoard/Perfetto trace
+    trace_root = os.path.join(log_dir, "trace")
+    assert "profiler trace written" in result.stdout
+    trace_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(trace_root) for f in fs
+    ]
+    assert any(f.endswith(".xplane.pb") for f in trace_files), trace_files
 
     # metrics JSONL written with both stages
     metrics = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
