@@ -5,6 +5,10 @@ Equivalent of the reference's `src/convert_torch_to_tf.py` CLI (same
 `Wav2Vec2ForCTC.from_pretrained` and `save_pretrained`s as
 config.json + jax_model.msgpack.
 
+Also accepts HuBERT checkpoints (model_type auto-detected, e.g.
+facebook/hubert-large-ls960-ft) — a model family the reference never
+supported; they share the backbone and run through every surface here.
+
 Usage:
     python -m gsoc_wav2vec2_tpu.cli.convert \
         --model_id facebook/wav2vec2-base-960h [--out jax-wav2vec2-base-960h]
@@ -23,9 +27,19 @@ def convert(model_id: str, out_dir: str, with_lm_head: bool = True,
             robust: bool = False, verify: bool = True) -> str:
     import transformers
 
-    hf_cls = (
-        transformers.Wav2Vec2ForCTC if with_lm_head else transformers.Wav2Vec2Model
-    )
+    # HuBERT checkpoints (facebook/hubert-large-ls960-ft etc.) ride the same
+    # backbone: architecturally wav2vec2 minus the pretraining quantizer,
+    # plus the `feat_proj_layer_norm` knob — detected from the HF config
+    hf_cfg = transformers.AutoConfig.from_pretrained(model_id)
+    if hf_cfg.model_type == "hubert":
+        hf_cls = (
+            transformers.HubertForCTC if with_lm_head else transformers.HubertModel
+        )
+    else:
+        hf_cls = (
+            transformers.Wav2Vec2ForCTC if with_lm_head
+            else transformers.Wav2Vec2Model
+        )
     hf_model = hf_cls.from_pretrained(model_id).eval()
     hf_cfg = hf_model.config
 
@@ -48,6 +62,7 @@ def convert(model_id: str, out_dir: str, with_lm_head: bool = True,
         attention_norm_type="prenorm" if hf_cfg.do_stable_layer_norm else "postnorm",
         feature_extractor_norm_type=hf_cfg.feat_extract_norm,
         is_robust=bool(hf_cfg.do_stable_layer_norm),
+        feat_proj_layer_norm=bool(getattr(hf_cfg, "feat_proj_layer_norm", True)),
     )
 
     from ..convert.torch_to_jax import params_from_hf_model

@@ -112,6 +112,13 @@ def save_h5_params(
             "reference-compatible H5 export covers Wav2Vec2ForCTC only; "
             "use the native msgpack format for the headless model"
         )
+    if not config.feat_proj_layer_norm:
+        # the reference's Keras model always has this LayerNorm; a HuBERT
+        # checkpoint without it has no valid reference H5 representation
+        raise ValueError(
+            "reference H5 export requires feat_proj_layer_norm=True; "
+            "use the native msgpack format for this model"
+        )
     root = "wav2vec2-ctc"
     tree = params["wav2vec2"]
 

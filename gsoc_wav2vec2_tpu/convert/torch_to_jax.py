@@ -12,7 +12,11 @@ JAX parameter tree:
   * `layer_norm.weight/bias` -> `gamma`/`beta`.
 
 Handles both the legacy `weight_g`/`weight_v` naming and the modern torch
-`parametrizations.weight.original0/original1` naming.
+`parametrizations.weight.original0/original1` naming.  Accepts the
+`wav2vec2.` AND `hubert.` backbone prefixes — HuBERT checkpoints
+(HubertForCTC) are architecturally wav2vec2 minus the pretraining
+quantizer, modulo the optional feature-projection LayerNorm
+(`feat_proj_layer_norm`) and a possibly-absent `masked_spec_embed`.
 """
 
 from __future__ import annotations
@@ -57,11 +61,14 @@ def params_from_torch_state_dict(
     naming.  Encoder layers are stacked along a leading axis for `lax.scan`.
     """
     sd = _normalize_torch_keys(state_dict)
-    prefix = "wav2vec2." if with_lm_head or any(
-        k.startswith("wav2vec2.") for k in sd
-    ) else ""
-    if not any(k.startswith(prefix) for k in sd):
-        prefix = ""
+    # backbone prefix: `wav2vec2.` under Wav2Vec2ForCTC, `hubert.` under
+    # HubertForCTC (same layer layout — HuBERT is architecturally wav2vec2
+    # minus the quantizer), empty for bare backbone checkpoints
+    prefix = ""
+    for cand in ("wav2vec2.", "hubert."):
+        if any(k.startswith(cand) for k in sd):
+            prefix = cand
+            break
 
     def g(key):
         return sd[prefix + key]
@@ -108,13 +115,25 @@ def params_from_torch_state_dict(
 
     layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *per_layer)
 
+    feature_projection = {
+        "projection": _dense(sd, f"{prefix}feature_projection.projection"),
+    }
+    if prefix + "feature_projection.layer_norm.weight" in sd:
+        # absent when HF `feat_proj_layer_norm=False` (HuBERT-family knob)
+        feature_projection["layer_norm"] = _ln(
+            sd, f"{prefix}feature_projection.layer_norm"
+        )
+
     model_params = {
-        "masked_spec_embed": jnp.asarray(g("masked_spec_embed")),
+        # inference-only checkpoints (mask probs 0) may omit the mask
+        # embedding; it is only read under SpecAugment, so zeros are inert
+        "masked_spec_embed": (
+            jnp.asarray(g("masked_spec_embed"))
+            if prefix + "masked_spec_embed" in sd
+            else jnp.zeros((config.hidden_size,), jnp.float32)
+        ),
         "feature_extractor": {"conv_layers": tuple(conv_layers)},
-        "feature_projection": {
-            "layer_norm": _ln(sd, f"{prefix}feature_projection.layer_norm"),
-            "projection": _dense(sd, f"{prefix}feature_projection.projection"),
-        },
+        "feature_projection": feature_projection,
         "encoder": {
             "pos_conv_embed": {
                 "conv": {

@@ -60,11 +60,18 @@ class Wav2Vec2Config:
     feature_extractor_norm_type: str = "group"
     is_robust: bool = False
 
+    # EXTENSION — LayerNorm before the feature projection (always present
+    # in wav2vec2; some HuBERT-family checkpoints, e.g. distilhubert-style
+    # configs, set HF's `feat_proj_layer_norm=False`).  Default matches the
+    # reference exactly.
+    feat_proj_layer_norm: bool = True
+
     # Fields the reference's config dataclass does not know: excluded from
     # config.json when at their defaults so a dir saved here still loads
     # through the reference's `cls(**json)` (`config.py:57-60`).
     _EXTENSION_FIELDS = (
         "mask_feature_prob", "mask_feature_length", "mask_feature_min_masks",
+        "feat_proj_layer_norm",
     )
 
     def __post_init__(self):

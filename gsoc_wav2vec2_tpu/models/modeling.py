@@ -124,10 +124,14 @@ def init_wav2vec2_params(rng, config: Wav2Vec2Config) -> dict:
         "feature_extractor": {
             "conv_layers": init_feature_extractor_params(k_fe, config)
         },
-        "feature_projection": {
-            "layer_norm": _init_layer_norm(conv_in),
-            "projection": _init_dense(k_fp, conv_in, h),
-        },
+        "feature_projection": (
+            {
+                "layer_norm": _init_layer_norm(conv_in),
+                "projection": _init_dense(k_fp, conv_in, h),
+            }
+            if config.feat_proj_layer_norm
+            else {"projection": _init_dense(k_fp, conv_in, h)}
+        ),
         "encoder": {
             "pos_conv_embed": {
                 "conv": {
@@ -440,7 +444,8 @@ def wav2vec2_forward(
         x = jax.lax.stop_gradient(x)
 
     fp = params["feature_projection"]
-    x = layer_norm(x, fp["layer_norm"], config.layer_norm_eps)
+    if config.feat_proj_layer_norm:  # always true for wav2vec2; HuBERT knob
+        x = layer_norm(x, fp["layer_norm"], config.layer_norm_eps)
     x = dense(x, fp["projection"])
     x = dropout(x, config.dropout, next_key() if training else None, not training)
 
