@@ -19,7 +19,7 @@ from __future__ import annotations
 import argparse
 import os
 
-from ..models.config import RobustWav2Vec2Config, Wav2Vec2Config
+from ..models.config import RobustWav2Vec2Config
 from ..models.modeling import Wav2Vec2ForCTC, Wav2Vec2Model
 
 
@@ -41,29 +41,14 @@ def convert(model_id: str, out_dir: str, with_lm_head: bool = True,
             else transformers.Wav2Vec2Model
         )
     hf_model = hf_cls.from_pretrained(model_id).eval()
-    hf_cfg = hf_model.config
 
-    cfg_cls = RobustWav2Vec2Config if (
-        robust or hf_cfg.do_stable_layer_norm
-    ) else Wav2Vec2Config
-    config = cfg_cls(
-        vocab_size=hf_cfg.vocab_size,
-        hidden_size=hf_cfg.hidden_size,
-        num_heads=hf_cfg.num_attention_heads,
-        num_layers=hf_cfg.num_hidden_layers,
-        intermediate_size=hf_cfg.intermediate_size,
-        filter_sizes=list(hf_cfg.conv_dim),
-        kernal_sizes=list(hf_cfg.conv_kernel),
-        strides=list(hf_cfg.conv_stride),
-        conv_bias=hf_cfg.conv_bias,
-        num_conv_pos_embeddings=hf_cfg.num_conv_pos_embeddings,
-        num_conv_pos_embedding_groups=hf_cfg.num_conv_pos_embedding_groups,
-        layer_norm_eps=hf_cfg.layer_norm_eps,
-        attention_norm_type="prenorm" if hf_cfg.do_stable_layer_norm else "postnorm",
-        feature_extractor_norm_type=hf_cfg.feat_extract_norm,
-        is_robust=bool(hf_cfg.do_stable_layer_norm),
-        feat_proj_layer_norm=bool(getattr(hf_cfg, "feat_proj_layer_norm", True)),
-    )
+    from ..models.config import config_from_hf_dict
+
+    config = config_from_hf_dict(hf_model.config.to_dict())
+    if robust and not config.is_robust:
+        # escape hatch: mark a checkpoint mask-aware without changing the
+        # HF-derived norm types (the reference's robust flag analog)
+        config = RobustWav2Vec2Config(**{**config.__dict__, "is_robust": True})
 
     from ..convert.torch_to_jax import params_from_hf_model
 

@@ -154,6 +154,54 @@ class Wav2Vec2Config:
         return replace(self, **kwargs)
 
 
+def is_hf_config_dict(d: dict) -> bool:
+    """Does this config.json payload use the HuggingFace `transformers`
+    schema (vs this framework's / the reference's)?  HF payloads carry
+    `model_type` and HF-only field names."""
+    return "model_type" in d or "num_hidden_layers" in d
+
+
+def config_from_hf_dict(d: dict):
+    """Translate an HF `transformers` config payload (model_type wav2vec2
+    or hubert) into this framework's config classes.
+
+    This is what lets `from_pretrained` consume a RAW HF snapshot
+    (config.json + pytorch weights) directly — the reference needed its
+    separate converter run first (`convert_torch_to_tf.py`).  Only
+    architecture fields map; HF's per-site dropout split collapses onto
+    the single `dropout` the reference models (training hyper-parameters
+    are supplied by the training CLI, not the checkpoint)."""
+    model_type = d.get("model_type", "wav2vec2")
+    if model_type not in ("wav2vec2", "hubert"):
+        raise ValueError(
+            f"unsupported HF model_type {model_type!r} (wav2vec2/hubert)"
+        )
+    stable = bool(d.get("do_stable_layer_norm", False))
+    cls = RobustWav2Vec2Config if stable else Wav2Vec2Config
+    return cls(
+        vocab_size=d.get("vocab_size", 32),
+        hidden_size=d.get("hidden_size", 768),
+        num_heads=d.get("num_attention_heads", 12),
+        num_layers=d.get("num_hidden_layers", 12),
+        intermediate_size=d.get("intermediate_size", 3072),
+        filter_sizes=list(d.get("conv_dim", [512] * 7)),
+        kernal_sizes=list(d.get("conv_kernel", [10, 3, 3, 3, 3, 2, 2])),
+        strides=list(d.get("conv_stride", [5, 2, 2, 2, 2, 2, 2])),
+        conv_bias=bool(d.get("conv_bias", False)),
+        num_conv_pos_embeddings=d.get("num_conv_pos_embeddings", 128),
+        num_conv_pos_embedding_groups=d.get("num_conv_pos_embedding_groups", 16),
+        layer_norm_eps=d.get("layer_norm_eps", 1e-5),
+        attention_norm_type="prenorm" if stable else "postnorm",
+        feature_extractor_norm_type=d.get("feat_extract_norm", "group"),
+        is_robust=stable,
+        feat_proj_layer_norm=bool(d.get("feat_proj_layer_norm", True)),
+        apply_spec_augment=bool(d.get("apply_spec_augment", True)),
+        mask_time_prob=d.get("mask_time_prob", 0.05),
+        mask_time_length=d.get("mask_time_length", 10),
+        pad_id=d.get("pad_token_id", 0),
+    )
+
+
 @dataclass
 class Wav2Vec2PretrainingConfig(Wav2Vec2Config):
     """Self-supervised pretraining hyper-parameters (wav2vec2 paper §3.2).

@@ -625,12 +625,24 @@ class _PretrainedMixin:
             save_dir = _download_from_hub(model_id)
         config_kwargs.pop("input_shape", None)
 
-        config_cls = Wav2Vec2Config
-        config = config_cls.from_json(os.path.join(save_dir, "config.json"))
-        if config.is_robust:
-            config = RobustWav2Vec2Config(
-                **{k: v for k, v in config.__dict__.items()}
-            )
+        import json as _json
+
+        from .config import config_from_hf_dict, is_hf_config_dict
+
+        with open(os.path.join(save_dir, "config.json")) as f:
+            config_dict = _json.load(f)
+        if is_hf_config_dict(config_dict):
+            # a raw HF snapshot (e.g. facebook/wav2vec2-base-960h or
+            # facebook/hubert-large-ls960-ft straight off the hub): the
+            # schema translates and the torch-weights fallback below loads
+            # the parameters — no separate converter run needed
+            config = config_from_hf_dict(config_dict)
+        else:
+            config = Wav2Vec2Config(**config_dict)
+            if config.is_robust:
+                config = RobustWav2Vec2Config(
+                    **{k: v for k, v in config.__dict__.items()}
+                )
         config = config.replace(**config_kwargs)
         model = cls(config, seed=0)
 

@@ -163,6 +163,59 @@ def test_convert_cli_handles_local_hubert_dir(tmp_path):
     np.testing.assert_allclose(got, expected, atol=2e-4)
 
 
+@requires_transformers
+@pytest.mark.parametrize("family", ["wav2vec2", "hubert"])
+def test_from_pretrained_reads_raw_hf_snapshot(tmp_path, family):
+    """`from_pretrained` on a RAW HF snapshot directory (HF-schema
+    config.json + torch weights, exactly what `snapshot_download` fetches
+    for facebook/wav2vec2-base-960h or facebook/hubert-large-ls960-ft):
+    the config translates via `config_from_hf_dict` and the weights load
+    through the torch fallback — no separate converter run, which the
+    reference always required (`convert_torch_to_tf.py`)."""
+    import torch
+    import transformers
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2ForCTC
+    from utils import matching_hf_config
+
+    cfg = tiny_config()
+    if family == "hubert":
+        hf_cfg = hubert_hf_config(cfg)
+        hf_model = transformers.HubertForCTC(hf_cfg).eval()
+    else:
+        hf_cfg = matching_hf_config(cfg)
+        hf_model = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    hf_dir = str(tmp_path / f"hf-{family}")
+    hf_model.save_pretrained(hf_dir)
+
+    model = Wav2Vec2ForCTC.from_pretrained(hf_dir)
+    assert model.config.num_layers == cfg.num_layers
+    assert model.config.kernal_sizes == list(hf_cfg.conv_kernel)
+    speech = np.random.RandomState(3).randn(1, 4000).astype(np.float32)
+    with torch.no_grad():
+        expected = hf_model(torch.from_numpy(speech)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(model(speech)), expected, atol=2e-4)
+
+
+def test_config_from_hf_dict_detection_and_errors():
+    from gsoc_wav2vec2_tpu.models.config import (
+        config_from_hf_dict,
+        is_hf_config_dict,
+    )
+
+    assert is_hf_config_dict({"model_type": "wav2vec2"})
+    assert is_hf_config_dict({"num_hidden_layers": 12})
+    assert not is_hf_config_dict(tiny_config().to_dict())
+    with pytest.raises(ValueError, match="model_type"):
+        config_from_hf_dict({"model_type": "whisper"})
+    # stable layer norm selects the robust family
+    robust = config_from_hf_dict(
+        {"model_type": "wav2vec2", "do_stable_layer_norm": True,
+         "feat_extract_norm": "layer", "conv_bias": True}
+    )
+    assert robust.is_robust and robust.attention_norm_type == "prenorm"
+
+
 def test_feat_proj_layer_norm_stays_out_of_reference_json():
     """Extension-field contract: the default (True) is omitted from
     config.json so reference load-back keeps working; False is written."""
