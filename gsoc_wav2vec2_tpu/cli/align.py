@@ -77,10 +77,15 @@ def main() -> None:
 
     failures = 0
     for path in args.files:
-        text_in = (
-            args.transcript if args.transcript is not None
-            else sibling_transcript(path)
-        )
+        try:
+            text_in = (
+                args.transcript if args.transcript is not None
+                else sibling_transcript(path)
+            )
+        except FileNotFoundError as e:
+            print(json.dumps({"file": path, "error": str(e)}), flush=True)
+            failures += 1
+            continue
         audio, rate = read_sound(path)
         if rate != args.sample_rate:
             raise ValueError(f"{path}: sample rate {rate} != {args.sample_rate}")

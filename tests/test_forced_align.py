@@ -262,3 +262,11 @@ def test_align_cli(tmp_path):
     # --transcript with two files is a usage error
     result = run(str(clip), str(clip), "--transcript", "HI")
     assert result.returncode == 2
+
+    # audio with no sibling transcript: JSON error line + nonzero exit
+    orphan = tmp_path / "orphan.wav"
+    orphan.write_bytes(clip.read_bytes())
+    result = run(str(orphan))
+    assert result.returncode == 1
+    report = json.loads(result.stdout.strip().splitlines()[-1])
+    assert "no transcript" in report["error"]

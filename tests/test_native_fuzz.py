@@ -176,7 +176,9 @@ def test_native_codec_survives_hostile_bytes():
     )
     assert "FUZZ_OK" in result.stdout
     # well over a thousand hostile inputs actually ran
-    counts = eval(result.stdout.split("FUZZ_OK ")[1])  # noqa: S307
+    import ast
+
+    counts = ast.literal_eval(result.stdout.split("FUZZ_OK ")[1].strip())
     assert counts["wav"] >= 400
     assert counts["flac"] >= 400
     assert counts["tfrecord"] >= 300
