@@ -86,17 +86,21 @@ def main() -> None:
             print(json.dumps({"file": path, "error": str(e)}), flush=True)
             failures += 1
             continue
-        audio, rate = read_sound(path)
-        if rate != args.sample_rate:
-            raise ValueError(f"{path}: sample rate {rate} != {args.sample_rate}")
-        speech = np.asarray(processor(audio), np.float32)
         try:
+            audio, rate = read_sound(path)
+            if rate != args.sample_rate:
+                raise ValueError(
+                    f"{path}: sample rate {rate} != {args.sample_rate}"
+                )
+            speech = np.asarray(processor(audio), np.float32)
             text, words = evaluator.align_segments(
                 speech, text_in,
                 chunk_samples=args.chunk_samples,
                 context_samples=args.context_samples,
             )
-        except ValueError as e:
+        except (ValueError, OSError) as e:
+            # per-file contract: bad rate / undecodable bytes / infeasible
+            # transcript all emit a JSON error line, the batch continues
             print(json.dumps({"file": path, "error": str(e)}), flush=True)
             failures += 1
             continue

@@ -588,6 +588,9 @@ struct Decoder {
       for (int i = 0; i < blocksize; i++) out[i] = br.signed_bits(bps);
     } else if (type >= 8 && type <= 12) {  // FIXED, order = type - 8
       int order = type - 8;
+      // warm-up samples must fit the block: a crafted tiny blocksize with
+      // a large predictor order would write past out[] otherwise
+      if (order > blocksize) return false;
       for (int i = 0; i < order; i++) out[i] = br.signed_bits(bps);
       if (!decode_residual(br, blocksize, order, out)) return false;
       // restore with fixed predictors
@@ -606,6 +609,7 @@ struct Decoder {
       }
     } else if (type >= 32) {  // LPC, order = (type & 31) + 1
       int order = (type & 31) + 1;
+      if (order > blocksize) return false;  // see FIXED warm-up guard
       for (int i = 0; i < order; i++) out[i] = br.signed_bits(bps);
       int precision = (int)br.bits(4) + 1;
       if (precision == 16) return false;  // invalid
@@ -709,12 +713,19 @@ int64_t w2v2_decode_flac_buffer(const void* data, int64_t len, float** out,
   if (total_samples)
     samples.reserve((size_t)(total_samples < (1ull << 24) ? total_samples
                                                           : (1ull << 24)));
-  // decompression-bomb guard: a CONSTANT frame emits 65536 samples from
-  // ~14 bytes (~4700/byte); anything past 8192 samples/byte is malformed
-  // one block of slack over the declared count: a final frame may overshoot
-  // slightly (trimmed below, as before)
-  const uint64_t max_out =
-      (total_samples ? total_samples : (uint64_t)sz * 8192) + 65536;
+  // decompression-bomb guard.  FLAC legitimately reaches ~4850 samples/byte
+  // (CONSTANT frames over digital silence), so no expansion ratio alone can
+  // separate hostile from legit input — and the declared total is attacker-
+  // controlled too.  Bound the whole-file decode by the declared total
+  // (one block of slack: a final frame may overshoot slightly and is
+  // trimmed below), by a ratio just above the achievable maximum, AND by
+  // an absolute ceiling of 2^28 samples (~4.6 h @ 16 kHz, a 1 GB buffer):
+  // a crafted small upload can then never grow the buffer toward
+  // bad_alloc/OOM on a serving host.  Longer-than-4.6 h audio must be
+  // decoded in chapters (transcribe_long chunks far below this anyway).
+  uint64_t max_out = total_samples ? total_samples + 65536
+                                   : (uint64_t)sz * 5000 + 65536;
+  if (max_out > (1ull << 28)) max_out = 1ull << 28;
   flac::Decoder dec;
   double scale = 1.0 / (double)(1ll << (si_bps - 1));
 

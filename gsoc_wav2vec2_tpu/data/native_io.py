@@ -39,12 +39,20 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        src = os.path.join(_NATIVE_DIR, "w2v2io.cc")
-        if not os.path.isfile(_SO_PATH) or (
-            os.path.isfile(src) and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
-        ):
-            _build()
-        lib = ctypes.CDLL(_SO_PATH)
+        # W2V2IO_LIB: load a prebuilt library instead (the fuzz suite uses
+        # this to run the decoders under an AddressSanitizer build)
+        override = os.environ.get("W2V2IO_LIB")
+        if override:
+            so_path = override
+        else:
+            so_path = _SO_PATH
+            src = os.path.join(_NATIVE_DIR, "w2v2io.cc")
+            if not os.path.isfile(so_path) or (
+                os.path.isfile(src)
+                and os.path.getmtime(src) > os.path.getmtime(so_path)
+            ):
+                _build()
+        lib = ctypes.CDLL(so_path)
 
         lib.w2v2_writer_open.restype = ctypes.c_void_p
         lib.w2v2_writer_open.argtypes = [ctypes.c_char_p]

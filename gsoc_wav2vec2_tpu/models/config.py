@@ -198,6 +198,9 @@ def config_from_hf_dict(d: dict):
         apply_spec_augment=bool(d.get("apply_spec_augment", True)),
         mask_time_prob=d.get("mask_time_prob", 0.05),
         mask_time_length=d.get("mask_time_length", 10),
+        mask_feature_prob=d.get("mask_feature_prob", 0.0),
+        mask_feature_length=d.get("mask_feature_length", 10),
+        mask_feature_min_masks=d.get("mask_feature_min_masks", 0),
         pad_id=d.get("pad_token_id", 0),
     )
 
@@ -230,6 +233,12 @@ class Wav2Vec2PretrainingConfig(Wav2Vec2Config):
             raise ValueError(
                 "`codevector_dim` must be divisible by `num_codevector_groups`"
             )
+        if not self.feat_proj_layer_norm:
+            # the quantizer consumes the NORMED conv features
+            # (`models/pretraining.py`); without the projection LayerNorm
+            # the objective is undefined — fail at config time, not inside
+            # the traced forward
+            raise ValueError("pretraining requires feat_proj_layer_norm=True")
 
     @property
     def num_codevectors(self) -> int:

@@ -631,7 +631,8 @@ class _PretrainedMixin:
 
         with open(os.path.join(save_dir, "config.json")) as f:
             config_dict = _json.load(f)
-        if is_hf_config_dict(config_dict):
+        hf_snapshot = is_hf_config_dict(config_dict)
+        if hf_snapshot:
             # a raw HF snapshot (e.g. facebook/wav2vec2-base-960h or
             # facebook/hubert-large-ls960-ft straight off the hub): the
             # schema translates and the torch-weights fallback below loads
@@ -652,6 +653,10 @@ class _PretrainedMixin:
             os.path.join(save_dir, n)
             for n in ("model.safetensors", "pytorch_model.bin")
         ]
+        if hf_snapshot:
+            # an HF repo's tf_model.h5 is the TFWav2Vec2ForCTC Keras layout,
+            # NOT the reference's — only the torch weights are loadable here
+            h5_path = os.path.join(save_dir, "<hf-h5-not-supported>")
         if os.path.isfile(msgpack_path):
             from flax import serialization
 
@@ -705,7 +710,10 @@ def _download_from_hub(model_id: str) -> str:
     try:
         from huggingface_hub import snapshot_download
 
-        return snapshot_download(model_id)
+        # skip HF flax exports — never read here (our own msgpack is
+        # `jax_model.msgpack` and reference repos' tf_model.h5 IS loadable,
+        # so only the unambiguous flax file can be pruned safely)
+        return snapshot_download(model_id, ignore_patterns=["flax_model*"])
     except Exception as e:
         raise ValueError(
             f"`{model_id}` is not a local directory and downloading from the "

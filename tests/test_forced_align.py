@@ -263,10 +263,22 @@ def test_align_cli(tmp_path):
     result = run(str(clip), str(clip), "--transcript", "HI")
     assert result.returncode == 2
 
-    # audio with no sibling transcript: JSON error line + nonzero exit
+    # per-file error contract in one batch: a wrong-rate file and a file
+    # with no sibling transcript each emit a JSON error line, the batch
+    # continues, exit code is 1
+    badrate = tmp_path / "badrate.wav"
+    with wave.open(str(badrate), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm[:4000].tobytes())
+    (tmp_path / "badrate.txt").write_text("HELLO\n")
     orphan = tmp_path / "orphan.wav"
     orphan.write_bytes(clip.read_bytes())
-    result = run(str(orphan))
+    result = run(str(badrate), str(orphan))
     assert result.returncode == 1
-    report = json.loads(result.stdout.strip().splitlines()[-1])
-    assert "no transcript" in report["error"]
+    lines = [json.loads(l) for l in result.stdout.strip().splitlines()
+             if l.startswith("{")]
+    errors = {os.path.basename(r["file"]): r["error"] for r in lines}
+    assert "sample rate 8000" in errors["badrate.wav"]
+    assert "no transcript" in errors["orphan.wav"]

@@ -214,6 +214,47 @@ def test_config_from_hf_dict_detection_and_errors():
          "feat_extract_norm": "layer", "conv_bias": True}
     )
     assert robust.is_robust and robust.attention_norm_type == "prenorm"
+    # SpecAugment knobs carry over on BOTH axes (mask_feature_* are this
+    # framework's extension fields; HF robust recipes set them)
+    cfg = config_from_hf_dict(
+        {"model_type": "wav2vec2", "mask_time_prob": 0.08,
+         "mask_feature_prob": 0.25, "mask_feature_length": 64}
+    )
+    assert cfg.mask_time_prob == 0.08
+    assert cfg.mask_feature_prob == 0.25 and cfg.mask_feature_length == 64
+
+
+def test_pretraining_rejects_no_feat_proj_layer_norm():
+    """The quantizer consumes the normed conv features; the knob must fail
+    at config time, not KeyError inside the traced pretraining forward."""
+    from utils import tiny_pretraining_config
+
+    with pytest.raises(ValueError, match="feat_proj_layer_norm"):
+        tiny_pretraining_config(feat_proj_layer_norm=False)
+
+
+@requires_transformers
+def test_hf_snapshot_ignores_hf_layout_h5(tmp_path):
+    """HF repos ship a tf_model.h5 in HF's Keras layout (not the
+    reference's); an HF-schema snapshot must load the torch weights and
+    never attempt that h5."""
+    import torch
+    import transformers
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2ForCTC
+
+    cfg = tiny_config()
+    hf_model = transformers.HubertForCTC(hubert_hf_config(cfg)).eval()
+    hf_dir = tmp_path / "hf-snap"
+    hf_model.save_pretrained(str(hf_dir))
+    # a decoy h5 the loader must not touch (would raise if parsed)
+    (hf_dir / "tf_model.h5").write_bytes(b"\x89HDF-not-really")
+
+    model = Wav2Vec2ForCTC.from_pretrained(str(hf_dir))
+    speech = np.random.RandomState(4).randn(1, 4000).astype(np.float32)
+    with torch.no_grad():
+        expected = hf_model(torch.from_numpy(speech)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(model(speech)), expected, atol=2e-4)
 
 
 def test_feat_proj_layer_norm_stays_out_of_reference_json():

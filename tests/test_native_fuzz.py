@@ -104,6 +104,34 @@ b[26:30] = b"\xff\xff\xff\xff"
 expect_clean(native_io.decode_flac_bytes, bytes(b))
 checked["flac"] += 1
 
+# exhaustive single-byte corruption sweeps on tiny inputs: EVERY position
+# takes EVERY value — deterministic coverage of all one-byte mutations,
+# including the FLAC subframe-type byte (an LPC order larger than a tiny
+# blocksize once wrote warm-up samples out of bounds) and every WAV header
+# field.  Run under ASAN (see test_native_codec_fuzz_under_asan) this
+# catches silent heap corruption, not just crashes.
+tiny_flac = bytearray(encode_flac(np.array([100, -200, 300, -400], np.int16)))
+for pos in range(len(tiny_flac)):
+    orig = tiny_flac[pos]
+    for val in range(256):
+        if val == orig:
+            continue
+        tiny_flac[pos] = val
+        expect_clean(native_io.decode_flac_bytes, bytes(tiny_flac))
+        checked["flac"] += 1
+    tiny_flac[pos] = orig
+
+tiny_wav = bytearray(wav_bytes(8))
+for pos in range(len(tiny_wav)):
+    orig = tiny_wav[pos]
+    for val in range(256):
+        if val == orig:
+            continue
+        tiny_wav[pos] = val
+        expect_clean(native_io.decode_wav_bytes, bytes(tiny_wav))
+        checked["wav"] += 1
+    tiny_wav[pos] = orig
+
 # --- TFRecord --------------------------------------------------------------
 import tempfile
 
@@ -163,22 +191,65 @@ print(f"FUZZ_OK {checked}")
 """
 
 
-def test_native_codec_survives_hostile_bytes():
+def _run_harness(extra_env=None, timeout=600):
     env = dict(os.environ, PYTHONPATH="/root/repo:/root/repo/tests")
+    env.update(extra_env or {})
     result = subprocess.run(
         [sys.executable, "-c", HARNESS],
         capture_output=True, text=True, env=env, cwd="/root/repo",
-        timeout=600,
+        timeout=timeout,
     )
     assert result.returncode == 0, (
         f"native codec crashed or mis-errored during fuzzing:\n"
-        f"stdout: {result.stdout[-2000:]}\nstderr: {result.stderr[-2000:]}"
+        f"stdout: {result.stdout[-2000:]}\nstderr: {result.stderr[-3000:]}"
     )
     assert "FUZZ_OK" in result.stdout
-    # well over a thousand hostile inputs actually ran
     import ast
 
     counts = ast.literal_eval(result.stdout.split("FUZZ_OK ")[1].strip())
-    assert counts["wav"] >= 400
-    assert counts["flac"] >= 400
+    # tens of thousands of hostile inputs actually ran (random mutations +
+    # the exhaustive single-byte sweeps)
+    assert counts["wav"] >= 10_000
+    assert counts["flac"] >= 10_000
     assert counts["tfrecord"] >= 300
+    return result
+
+
+def test_native_codec_survives_hostile_bytes():
+    _run_harness()
+
+
+def test_native_codec_fuzz_under_asan(tmp_path):
+    """The same fuzz corpus against an AddressSanitizer build of the codec:
+    silent heap overreads/overwrites (which a plain run survives by luck)
+    become hard failures.  Skipped when the toolchain lacks ASAN."""
+    import shutil
+    import subprocess as sp
+
+    import pytest
+
+    src = "/root/repo/gsoc_wav2vec2_tpu/data/native/w2v2io.cc"
+    asan_so = str(tmp_path / "libw2v2io_asan.so")
+    build = sp.run(
+        ["g++", "-O1", "-g", "-fPIC", "-shared", "-fsanitize=address",
+         "-std=c++17", "-o", asan_so, src],
+        capture_output=True, text=True,
+    )
+    if build.returncode != 0:
+        pytest.skip(f"no ASAN toolchain: {build.stderr[-300:]}")
+    runtime = sp.run(
+        ["gcc", "-print-file-name=libasan.so"], capture_output=True, text=True
+    ).stdout.strip()
+    if not runtime or not os.path.isfile(runtime):
+        pytest.skip("libasan runtime not found")
+
+    result = _run_harness(
+        extra_env={
+            "W2V2IO_LIB": asan_so,
+            "LD_PRELOAD": runtime,
+            # python leaks by design; halt_on_error stays on for real bugs
+            "ASAN_OPTIONS": "detect_leaks=0",
+        },
+        timeout=600,
+    )
+    assert "AddressSanitizer" not in result.stderr
