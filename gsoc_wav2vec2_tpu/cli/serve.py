@@ -30,6 +30,14 @@ does):
           "start_frame", "end_frame", "confidence"}, ...]]}
       (word-level timestamps are greedy-decode only; a beam server
       answers 400 to timestamp requests)
+  POST /v1/align[?transcript=...]
+      body as /v1/transcribe; JSON bodies carry {"audio": [...],
+      "transcript": "..."} (binary audio passes the text via the query)
+      -> {"transcription": <normalised transcript>, "words": [...],
+          "audio_seconds", "latency_ms"}
+      forced alignment: word start/end times for a KNOWN transcript
+      (Viterbi over the CTC trellis — `cli.align` as a service; works on
+      greedy AND beam servers, 400 if the transcript cannot fit the audio)
   POST /v1/stream                      (greedy servers only)
       optional JSON {"chunk_samples": int, "context_samples": int,
                      "normalize": "window" | "none"}
@@ -77,16 +85,24 @@ class _Request:
 
     __slots__ = (
         "audio", "done", "text", "words", "want_timestamps", "error",
-        "batched_with", "enqueued",
+        "error_code", "batched_with", "enqueued", "transcript",
     )
 
-    def __init__(self, audio: np.ndarray, want_timestamps: bool = False):
+    def __init__(
+        self,
+        audio: np.ndarray,
+        want_timestamps: bool = False,
+        transcript: str | None = None,
+    ):
         self.audio = audio
         self.done = threading.Event()
         self.text: str | None = None
         self.words: list | None = None
         self.want_timestamps = want_timestamps
+        # non-None: forced alignment of this transcript instead of decoding
+        self.transcript = transcript
         self.error: str | None = None
+        self.error_code = 500
         self.batched_with = 0
         self.enqueued = time.perf_counter()
 
@@ -144,8 +160,13 @@ class DynamicBatcher:
             else:
                 self.evaluator.predict_batch(speech, lengths)
 
-    def submit(self, audio: np.ndarray, want_timestamps: bool = False):
-        req = _Request(audio, want_timestamps)
+    def submit(
+        self,
+        audio: np.ndarray,
+        want_timestamps: bool = False,
+        transcript: str | None = None,
+    ):
+        req = _Request(audio, want_timestamps, transcript)
         with self._cv:
             self._pending.append(req)
             self._cv.notify()
@@ -180,7 +201,11 @@ class DynamicBatcher:
                 return
             groups: dict[int, list[_Request]] = {}
             longform: list[_Request] = []
+            aligns: list[_Request] = []
             for req in batch:
+                if req.transcript is not None:
+                    aligns.append(req)
+                    continue
                 bucket = self._bucket_for(len(req.audio))
                 if bucket is None:
                     longform.append(req)
@@ -220,6 +245,26 @@ class DynamicBatcher:
                     else:
                         req.text = self.evaluator.transcribe_long(req.audio)
                     req.batched_with = 1
+                except Exception as e:  # noqa: BLE001
+                    req.error = f"{type(e).__name__}: {e}"
+                finally:
+                    req.done.set()
+            for req in aligns:
+                # forced alignment: device work stays on this thread; the
+                # single-window pass pads to the request's bucket so align
+                # traffic reuses ONE compiled logprobs program per bucket
+                # (compiled lazily on the first align at that bucket)
+                try:
+                    req.text, req.words = self.evaluator.align_segments(
+                        req.audio,
+                        req.transcript,
+                        chunk_samples=self.buckets[-1],
+                        pad_to=self._bucket_for(len(req.audio)),
+                    )
+                    req.batched_with = 1
+                except ValueError as e:
+                    # infeasible transcript etc. — the client's fault
+                    req.error, req.error_code = str(e), 400
                 except Exception as e:  # noqa: BLE001
                     req.error = f"{type(e).__name__}: {e}"
                 finally:
@@ -361,6 +406,33 @@ def _parse_audio(body: bytes, content_type: str):
     return np.asarray(audio, np.float32), False
 
 
+def _parse_align(body: bytes, content_type: str, query: dict):
+    """/v1/align body -> (float32 waveform, transcript string).
+
+    JSON bodies carry {"audio": [...], "transcript": "..."}; binary
+    WAV/FLAC bodies pass the text via the `?transcript=` query parameter.
+    """
+    if content_type.startswith("application/json"):
+        payload = json.loads(body)
+        if "audio" not in payload:
+            raise ValueError('JSON body needs an "audio" array')
+        rate = int(payload.get("sample_rate", 16000))
+        if rate != 16000:
+            raise ValueError(f"sample_rate {rate} != 16000")
+        audio = np.asarray(payload["audio"], np.float32)
+        transcript = payload.get("transcript")
+    else:
+        audio, _ = _parse_audio(body, content_type)
+        qs = query.get("transcript", [])
+        transcript = qs[-1] if qs else None
+    if not transcript or not str(transcript).strip():
+        raise ValueError(
+            'alignment needs a non-empty "transcript" (JSON field or '
+            "?transcript= query parameter)"
+        )
+    return audio, str(transcript)
+
+
 def make_handler(
     batcher: DynamicBatcher, processor, stats: dict,
     streams: StreamSessions | None = None,
@@ -423,37 +495,48 @@ def make_handler(
             if streams is not None and parsed.path.startswith("/v1/stream"):
                 self._do_stream(parsed)
                 return
-            if parsed.path != "/v1/transcribe":
+            if parsed.path not in ("/v1/transcribe", "/v1/align"):
                 self._reply(404, {"error": "not found"})
                 return
+            aligning = parsed.path == "/v1/align"
             start = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
-                audio, want_ts = _parse_audio(
-                    body, self.headers.get("Content-Type", "")
-                )
-                qs = parse_qs(parsed.query).get("timestamps", [])
-                want_ts = want_ts or bool(
-                    qs and qs[-1].lower() in ("1", "true", "yes")
-                )
-                if want_ts and not batcher.timestamps_supported:
-                    raise ValueError(
-                        "timestamps require greedy decoding; this server "
-                        "runs beam search (--beam_width > 0)"
+                transcript = None
+                if aligning:
+                    audio, transcript = _parse_align(
+                        body, self.headers.get("Content-Type", ""),
+                        parse_qs(parsed.query),
                     )
+                    want_ts = False
+                else:
+                    audio, want_ts = _parse_audio(
+                        body, self.headers.get("Content-Type", "")
+                    )
+                    qs = parse_qs(parsed.query).get("timestamps", [])
+                    want_ts = want_ts or bool(
+                        qs and qs[-1].lower() in ("1", "true", "yes")
+                    )
+                    if want_ts and not batcher.timestamps_supported:
+                        raise ValueError(
+                            "timestamps require greedy decoding; this server "
+                            "runs beam search (--beam_width > 0)"
+                        )
                 if audio.ndim != 1 or len(audio) == 0:
                     raise ValueError("audio must be a non-empty 1-D waveform")
                 speech = np.asarray(processor(audio), np.float32)
             except (ValueError, OSError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
-            req = batcher.submit(speech, want_timestamps=want_ts)
+            req = batcher.submit(
+                speech, want_timestamps=want_ts, transcript=transcript
+            )
             req.done.wait()
             if req.error is not None:
-                self._reply(500, {"error": req.error})
+                self._reply(req.error_code, {"error": req.error})
                 return
-            stats["requests"] += 1
+            stats["aligns" if aligning else "requests"] += 1
             payload = {
                 "transcription": req.text,
                 "audio_seconds": round(len(audio) / 16000.0, 3),
@@ -462,7 +545,7 @@ def make_handler(
                 ),
                 "batched_with": req.batched_with,
             }
-            if req.want_timestamps:
+            if req.want_timestamps or aligning:
                 payload["words"] = req.words
             self._reply(200, payload)
 
@@ -546,6 +629,7 @@ def main() -> None:
         "beam_width": args.beam_width,
         "requests": 0,
         "streams": 0,
+        "aligns": 0,
     }
     streams = StreamSessions(
         evaluator,

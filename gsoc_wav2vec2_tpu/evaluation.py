@@ -504,6 +504,7 @@ class GreedyCTCEvaluator:
         transcript: str,
         chunk_samples: int = 246000,
         context_samples: int = 16000,
+        pad_to: Optional[int] = None,
     ):
         """Forced alignment: word timestamps for a KNOWN transcript.
 
@@ -523,6 +524,17 @@ class GreedyCTCEvaluator:
         per-word confidence (mean per-frame probability of the aligned
         characters).  Raises ValueError if the transcript has more
         symbols than the audio has frames to emit them.
+
+        `pad_to`: optional single-window pad length — the device program
+        then runs at that fixed shape (a server aligns at its bucket
+        shapes instead of compiling per request length); padding frames
+        are sliced off before the trellis.  For mask-aware (robust)
+        models the result is bit-identical to the unpadded call; for the
+        base family the conv stack's time-axis GroupNorm sees the padding
+        (the same padding sensitivity as the reference's fixed-pad eval,
+        `assets/final_report.md:55-58`), so near-tie boundaries can move
+        by a frame — consistent with the serving daemon's padded
+        transcribe path.
         """
         from .decoding import ctc_forced_align, ctc_word_segments
 
@@ -533,8 +545,12 @@ class GreedyCTCEvaluator:
 
         logp: List[np.ndarray] = []
         if len(audio) <= chunk_samples:
+            true_len = len(audio)
+            padded = audio
+            if pad_to is not None and pad_to > true_len:
+                padded = np.pad(audio, (0, pad_to - true_len))
             speech, lengths = self._pad_rows(
-                audio[None, :], np.asarray([len(audio)], np.int64)
+                padded[None, :], np.asarray([true_len], np.int64)
             )
             out, frame_lengths = self._device_outputs(
                 speech, lengths, mode="logprobs"

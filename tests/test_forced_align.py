@@ -152,6 +152,18 @@ def tiny():
     return config, params
 
 
+@pytest.fixture(scope="module")
+def tiny_robust():
+    from gsoc_wav2vec2_tpu import RobustWav2Vec2Config
+
+    config = RobustWav2Vec2Config(
+        hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(1), config)
+    return config, params
+
+
 def test_align_segments_times_given_transcript(tiny):
     config, params = tiny
     ev = GreedyCTCEvaluator(config, params, compute_dtype=jnp.float32)
@@ -196,6 +208,23 @@ def test_align_segments_long_form_matches_unchunked(tiny):
     for w in words:
         assert prev_end <= w["start_frame"] < w["end_frame"]
         prev_end = w["end_frame"]
+
+
+def test_align_segments_pad_to_is_invisible_with_mask(tiny_robust):
+    """`pad_to` (the serving bucket-shape reuse knob) pads the device
+    window and slices the padding frames before the trellis.  For a
+    mask-aware (robust) model the attention mask + per-frame LayerNorm
+    make the padding fully invisible — results must be identical.  (The
+    base family's time-axis GroupNorm sees padding, the same sensitivity
+    as the reference's fixed-pad eval, so only structure is guaranteed
+    there.)"""
+    config, params = tiny_robust
+    ev = GreedyCTCEvaluator(config, params, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    audio = rng.standard_normal(5000).astype(np.float32)
+    plain = ev.align_segments(audio, "HELLO WORLD")
+    padded = ev.align_segments(audio, "HELLO WORLD", pad_to=8000)
+    assert padded == plain
 
 
 def test_align_cli(tmp_path):

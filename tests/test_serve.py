@@ -274,6 +274,59 @@ def test_timestamps_word_level(server):
     assert isinstance(out2["words"], list)
 
 
+def test_align_endpoint(server):
+    """/v1/align: forced alignment as a service — JSON and binary legs
+    agree (on identically-quantised audio), words are monotone with
+    confidences, and infeasible/missing transcripts answer 400."""
+    audio = (np.sin(np.arange(5000) / 7.0) * 0.4).astype(np.float32)
+    quantised = (
+        np.clip(audio * 32767.0, -32768, 32767).astype(np.int16) / 32768.0
+    ).astype(np.float32)
+    body = json.dumps(
+        {"audio": quantised.tolist(), "transcript": "hello,  world!"}
+    ).encode()
+    status, out = _post(server["base"] + "/v1/align", body, "application/json")
+    assert status == 200, out
+    assert out["transcription"] == "HELLO WORLD"
+    words = out["words"]
+    assert [w["word"] for w in words] == ["HELLO", "WORLD"]
+    prev_end = 0
+    for w in words:
+        assert prev_end <= w["start_frame"] < w["end_frame"]
+        prev_end = w["end_frame"]
+        assert 0.0 < w["confidence"] <= 1.0
+
+    # binary WAV leg with ?transcript= must match the JSON leg exactly
+    # (same server, same quantised samples — only payload parsing differs)
+    status2, out2 = _post(
+        server["base"] + "/v1/align?transcript=hello%20world",
+        _wav_bytes(audio), "audio/wav",
+    )
+    assert status2 == 200, out2
+    assert out2["transcription"] == out["transcription"]
+    assert out2["words"] == words
+
+    # error contract: missing transcript and infeasible transcript -> 400
+    status3, out3 = _post(
+        server["base"] + "/v1/align",
+        json.dumps({"audio": quantised.tolist()}).encode(),
+        "application/json",
+    )
+    assert status3 == 400 and "transcript" in out3["error"]
+    status4, out4 = _post(
+        server["base"] + "/v1/align",
+        json.dumps({"audio": quantised[:300].tolist(),
+                    "transcript": "THE QUICK BROWN FOX " * 40}).encode(),
+        "application/json",
+    )
+    assert status4 == 400 and "frames" in out4["error"]
+
+    # healthz counts alignments separately from transcriptions
+    with urllib.request.urlopen(server["base"] + "/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["aligns"] >= 2
+
+
 def test_timestamps_rejected_on_beam_server(tmp_path):
     """A beam-search server keeps no frame alignment: timestamp requests
     answer 400 before any device work."""
