@@ -40,8 +40,10 @@ does):
       greedy AND beam servers, 400 if the transcript cannot fit the audio)
   POST /v1/stream                      (greedy servers only)
       optional JSON {"chunk_samples": int, "context_samples": int,
-                     "normalize": "window" | "none"}
+                     "normalize": "window" | "none", "timestamps": bool}
       -> {"session": id, ...}          open an incremental session
+      (`timestamps: true` adds committed word segments — live captions
+      with times — to every feed/finish reply)
   POST /v1/stream/<id>
       JSON {"audio": [float...]} | application/octet-stream of raw
       little-endian float32 samples
@@ -317,6 +319,7 @@ class StreamSessions:
             chunk_samples=int(options.get("chunk_samples", 246000)),
             context_samples=int(options.get("context_samples", 16000)),
             normalize_window=(normalize == "window"),
+            word_timestamps=bool(options.get("timestamps", False)),
         )
         with self._lock:
             self._purge_idle_locked()
@@ -342,24 +345,33 @@ class StreamSessions:
     def feed(self, sid: str, samples: np.ndarray) -> dict:
         entry = self._entry(sid)
         with entry["lock"]:
-            partial = entry["st"].feed(samples)
+            st = entry["st"]
+            partial = st.feed(samples)
             entry["last"] = time.monotonic()
-            return {
+            reply = {
                 "partial": partial,
-                "samples_fed": entry["st"].samples_fed,
+                "samples_fed": st.samples_fed,
             }
+            if st.word_timestamps:
+                reply["words"] = st.words  # committed words: live captions
+            return reply
 
     def finish(self, sid: str) -> dict:
         entry = self._entry(sid)
         with entry["lock"]:
-            text = entry["st"].finish()
-            total = entry["st"].samples_fed
+            st = entry["st"]
+            text = st.finish()
+            total = st.samples_fed
+            words = st.words if st.word_timestamps else None
         with self._lock:
             self._sessions.pop(sid, None)
-        return {
+        reply = {
             "transcription": text,
             "audio_seconds": round(total / 16000.0, 3),
         }
+        if words is not None:
+            reply["words"] = words
+        return reply
 
 
 def _parse_stream_piece(body: bytes, content_type: str) -> np.ndarray:

@@ -66,8 +66,6 @@ def main() -> None:
         parser.error("--timestamps requires greedy decoding (beam_width 0)")
     if args.stream and args.beam_width > 0:
         parser.error("--stream requires greedy decoding (beam_width 0)")
-    if args.stream and args.timestamps:
-        parser.error("--stream and --timestamps are mutually exclusive")
 
     lm = None
     if args.lm_path:
@@ -99,20 +97,26 @@ def main() -> None:
                 evaluator,
                 chunk_samples=args.chunk_samples,
                 context_samples=args.context_samples,
+                word_timestamps=args.timestamps,
             )
             piece = max(1, int(args.stream_chunk_s * args.sample_rate))
             last = ""
             for lo in range(0, len(speech), piece):
                 partial = st.feed(speech[lo : lo + piece])
                 if partial != last:
-                    print(json.dumps({
+                    update = {
                         "file": path, "partial": partial,
                         "t": round((lo + piece) / args.sample_rate, 2),
-                    }), flush=True)
+                    }
+                    if args.timestamps:
+                        # committed words so far: live captions with times
+                        update["words"] = st.words
+                    print(json.dumps(update), flush=True)
                     last = partial
-            print(json.dumps(
-                {"file": path, "transcription": st.finish()}
-            ))
+            final = {"file": path, "transcription": st.finish()}
+            if args.timestamps:
+                final["words"] = st.words
+            print(json.dumps(final))
         elif args.timestamps:
             text, words = evaluator.transcribe_long_segments(
                 speech,

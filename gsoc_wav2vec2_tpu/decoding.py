@@ -512,7 +512,38 @@ def ctc_word_segments(
             runs[-1][2] = i + 1
         else:
             runs.append([fid, i, i + 1])
+    if frame_probs is not None:
+        runs = [
+            (fid, start, end, float(np.sum(frame_probs[start:end])))
+            for fid, start, end in runs
+        ]
+    return segments_from_runs(
+        runs,
+        pad_id=pad_id,
+        delimiter_id=delimiter_id,
+        id_to_token=id_to_token,
+        frame_seconds=frame_seconds,
+        with_probs=frame_probs is not None,
+    )
 
+
+def segments_from_runs(
+    runs,
+    *,
+    pad_id: int,
+    delimiter_id: int,
+    id_to_token: dict,
+    frame_seconds: float,
+    with_probs: bool = False,
+):
+    """(text, words) from run-length-collapsed frames.
+
+    `runs`: `(id, start_frame, end_frame[, prob_sum])` tuples in frame
+    order — the shared core of `ctc_word_segments` (offline frame paths)
+    and `streaming.StreamingTranscriber` (incrementally committed runs).
+    `prob_sum` is the summed per-frame probability over the run's frames
+    (only read when `with_probs`).
+    """
     words = []
     text_parts: List[str] = []
     cur_chars: List[str] = []
@@ -531,13 +562,14 @@ def ctc_word_segments(
                 "start_frame": cur_start,
                 "end_frame": cur_end,
             }
-            if frame_probs is not None and cur_prob_frames:
+            if with_probs and cur_prob_frames:
                 entry["confidence"] = round(cur_prob_sum / cur_prob_frames, 4)
             words.append(entry)
         cur_chars = []
         cur_prob_sum, cur_prob_frames = 0.0, 0
 
-    for fid, start, end in runs:
+    for run in runs:
+        fid, start, end = run[0], run[1], run[2]
         if fid == pad_id:
             continue  # blank: no symbol, no state change
         if fid == delimiter_id:
@@ -550,8 +582,8 @@ def ctc_word_segments(
         cur_end = end
         cur_chars.append(token)
         text_parts.append(token)
-        if frame_probs is not None:
-            cur_prob_sum += float(np.sum(frame_probs[start:end]))
+        if with_probs:
+            cur_prob_sum += float(run[3])
             cur_prob_frames += end - start
     flush_word()
     return "".join(text_parts).strip(), words

@@ -58,6 +58,7 @@ class StreamingTranscriber:
         chunk_samples: int = 246000,
         context_samples: int = 16000,
         normalize_window: bool = False,
+        word_timestamps: bool = False,
     ):
         if evaluator.beam_width > 0:
             raise ValueError(
@@ -84,6 +85,14 @@ class StreamingTranscriber:
         self.ts = int(np.prod(evaluator.config.strides))
         self.stride = self.chunk - 2 * self.context
 
+        # True: windows run the "scored" program (argmax + per-frame max
+        # prob) and committed runs carry global frame spans, so `words`
+        # serves live word-level timestamps/confidences that grow with the
+        # committed text (and `finish()`-time words equal the offline
+        # `transcribe_long_segments` exactly, modulo float addition order
+        # in the confidences)
+        self.word_timestamps = bool(word_timestamps)
+
         self._buf = np.zeros((0,), np.float32)
         self._off = 0  # absolute sample index of _buf[0]
         self._total = 0  # absolute samples fed so far
@@ -95,6 +104,10 @@ class StreamingTranscriber:
         self._tokens: List[int] = []  # committed, collapsed, pad-free ids
         self._prev_raw_last: Optional[int] = None
         self._final_text: Optional[str] = None
+        # committed non-pad runs: [id, gstart, gend, prob_sum] in global
+        # frames (word_timestamps mode only)
+        self._runs: List[list] = []
+        self._final_words: Optional[list] = None
 
     # -- public surface ----------------------------------------------------
 
@@ -116,6 +129,31 @@ class StreamingTranscriber:
     @property
     def samples_fed(self) -> int:
         return self._total
+
+    @property
+    def words(self) -> list:
+        """Committed word segments so far (word_timestamps mode): dicts
+        with word/start/end/frames/confidence, global times in seconds —
+        grows monotonically with `text`; after `finish()` it equals the
+        offline `transcribe_long_segments` words."""
+        if not self.word_timestamps:
+            raise ValueError(
+                "construct StreamingTranscriber(word_timestamps=True) "
+                "to stream word segments"
+            )
+        if self._final_words is not None:
+            return self._final_words
+        from .decoding import segments_from_runs
+
+        _, words = segments_from_runs(
+            [tuple(r) for r in self._runs],
+            pad_id=self.ev.config.pad_id,
+            delimiter_id=self.ev.tokenizer.delimiter_id,
+            id_to_token=self.ev.tokenizer.id_to_token_mapping,
+            frame_seconds=self.ev.frame_seconds,
+            with_probs=True,
+        )
+        return words
 
     def feed(self, samples: np.ndarray) -> str:
         """Append audio; transcribe every window whose samples now exist.
@@ -140,11 +178,14 @@ class StreamingTranscriber:
             audio = self._buf[: self._total]
             if self.normalize_window and self._total:
                 audio = (audio - audio.mean()) / np.sqrt(audio.var() + 1e-5)
-            text = (
-                self.ev.predict_batch(audio[None, :])[0]
-                if self._total
-                else ""
-            )
+            if not self._total:
+                text, self._final_words = "", []
+            elif self.word_timestamps:
+                text, self._final_words = self.ev.predict_segments(
+                    audio[None, :]
+                )[0]
+            else:
+                text = self.ev.predict_batch(audio[None, :])[0]
         else:
             self._drain(total_len=self._total)
             text = self.text
@@ -180,8 +221,12 @@ class StreamingTranscriber:
             else:
                 keep_hi = f(min(total_len - win_start, self.chunk))
             if keep_hi > keep_lo:
-                ids = self._window_ids(win_start)
-                self._commit(ids[keep_lo:keep_hi])
+                ids, probs = self._window_ids(win_start)
+                self._commit(
+                    ids[keep_lo:keep_hi],
+                    None if probs is None else probs[keep_lo:keep_hi],
+                    base_frame + keep_lo,
+                )
                 self._prev_boundary = base_frame + keep_hi
                 self._windows += 1
             self._start = center_end
@@ -193,8 +238,9 @@ class StreamingTranscriber:
                 self._buf = self._buf[nxt - self._off :]
                 self._off = nxt
 
-    def _window_ids(self, win_start: int) -> np.ndarray:
-        """Per-frame argmax ids for the window at `win_start` — the same
+    def _window_ids(self, win_start: int):
+        """Per-frame argmax ids (and, in word_timestamps mode, per-frame
+        argmax probabilities) for the window at `win_start` — the same
         compiled step + padding/mask treatment as `transcribe_long`."""
         import jax.numpy as jnp
 
@@ -207,33 +253,62 @@ class StreamingTranscriber:
         if true_len < self.chunk:
             chunk = np.pad(chunk, (0, self.chunk - true_len))
         ev = self.ev
+        mode = "scored" if self.word_timestamps else None
         if ev.use_attention_mask:
             mask = (np.arange(self.chunk) < true_len).astype(np.float32)
-            preds, _ = ev._step(True)(
+            preds, _ = ev._step(True, mode)(
                 ev.params, jnp.asarray(chunk[None, :]),
                 jnp.asarray(mask[None, :]),
             )
         else:
-            preds, _ = ev._step(False)(ev.params, jnp.asarray(chunk[None, :]))
-        return np.asarray(preds)[0]
+            preds, _ = ev._step(False, mode)(
+                ev.params, jnp.asarray(chunk[None, :])
+            )
+        if self.word_timestamps:
+            ids, maxlogp = preds
+            return np.asarray(ids)[0], np.exp(np.asarray(maxlogp)[0])
+        return np.asarray(preds)[0], None
 
-    def _commit(self, ids: np.ndarray) -> None:
+    def _commit(self, ids: np.ndarray, probs, gbase: int) -> None:
         """Incremental greedy-CTC collapse: unique-consecutive within the
         new frames, merged against the previous window's last raw frame,
         pads dropped — byte-identical to collapsing the concatenated
-        stream in one pass."""
+        stream in one pass.  `gbase` is the global frame index of
+        `ids[0]`; in word_timestamps mode the committed runs also carry
+        global frame spans + probability sums (frames are contiguous
+        across commits, so a run continuing over a window boundary merges
+        exactly when its id matches and its span is adjacent)."""
         ids = np.asarray(ids)
         if ids.size == 0:
             return
         keep = np.ones(len(ids), bool)
         keep[1:] = ids[1:] != ids[:-1]
         collapsed = ids[keep]
-        if (
+        boundary_merge = (
             self._prev_raw_last is not None
             and collapsed.size
             and int(collapsed[0]) == self._prev_raw_last
-        ):
-            collapsed = collapsed[1:]
+        )
         self._prev_raw_last = int(ids[-1])
         pad = self.ev.config.pad_id
-        self._tokens.extend(int(t) for t in collapsed if int(t) != pad)
+        self._tokens.extend(
+            int(t)
+            for t in (collapsed[1:] if boundary_merge else collapsed)
+            if int(t) != pad
+        )
+        if not self.word_timestamps:
+            return
+        starts = np.flatnonzero(keep)
+        ends = np.append(starts[1:], len(ids))
+        for fid, s, e in zip(collapsed, starts, ends):
+            fid = int(fid)
+            if fid == pad:
+                continue
+            gstart, gend = gbase + int(s), gbase + int(e)
+            psum = float(np.sum(probs[s:e]))
+            if self._runs and self._runs[-1][0] == fid and \
+                    self._runs[-1][2] == gstart:
+                self._runs[-1][2] = gend
+                self._runs[-1][3] += psum
+            else:
+                self._runs.append([fid, gstart, gend, psum])

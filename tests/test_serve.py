@@ -435,6 +435,44 @@ def test_stream_session_piecewise_equals_one_piece(server):
     assert fin["transcription"], "random-weights argmax should be non-empty"
 
 
+def test_stream_session_word_timestamps(server):
+    """Opening a stream with {"timestamps": true} adds committed word
+    segments to every feed/finish reply — live captions with times."""
+    base = server["base"]
+    audio = np.random.default_rng(11).standard_normal(9500).astype(np.float32)
+    code, opened = _open_stream(
+        base, chunk_samples=3000, context_samples=500, normalize="none",
+        timestamps=True,
+    )
+    assert code == 200, opened
+    sid = opened["session"]
+    saw_words = False
+    for lo in range(0, len(audio), 1300):
+        code, out = _feed_json(base, sid, audio[lo : lo + 1300])
+        assert code == 200 and "words" in out, out
+        saw_words = saw_words or bool(out["words"])
+    code, fin = _post(base + f"/v1/stream/{sid}/finish", b"", "application/json")
+    assert code == 200, fin
+    words = fin["words"]
+    assert saw_words and words
+    assert " ".join(w["word"] for w in words).split() == \
+        fin["transcription"].split()
+    prev_end = 0
+    for w in words:
+        assert prev_end <= w["start_frame"] < w["end_frame"]
+        prev_end = w["end_frame"]
+        assert 0.0 < w["confidence"] <= 1.0
+
+    # a session opened WITHOUT timestamps keeps the lean replies
+    code, opened2 = _open_stream(
+        base, chunk_samples=3000, context_samples=500, normalize="none"
+    )
+    code, out = _feed_json(base, opened2["session"], audio[:2000])
+    assert code == 200 and "words" not in out
+    _post(base + f"/v1/stream/{opened2['session']}/finish", b"",
+          "application/json")
+
+
 def test_stream_octet_pieces_match_json_pieces(server):
     base = server["base"]
     audio = np.random.default_rng(9).standard_normal(7000).astype(np.float32)

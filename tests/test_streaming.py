@@ -151,7 +151,7 @@ def test_transcribe_cli_stream(tmp_path):
     want = json_lines(offline.stdout)[-1]["transcription"]
 
     streamed = subprocess.run(
-        common + ["--stream", "--stream_chunk_s", "0.1"],
+        common + ["--stream", "--stream_chunk_s", "0.1", "--timestamps"],
         capture_output=True, text=True, env=env, cwd="/root/repo",
         timeout=600,
     )
@@ -162,9 +162,70 @@ def test_transcribe_cli_stream(tmp_path):
     assert partials, "expected at least one partial update"
     for a, b in zip(partials, partials[1:] + [want]):
         assert b.startswith(a)
+    # --stream --timestamps: every update carries committed word segments
+    assert all("words" in l for l in lines[:-1])
+    final_words = lines[-1]["words"]
+    assert final_words and " ".join(
+        w["word"] for w in final_words
+    ).split() == want.split()
+    assert all(
+        set(w) >= {"word", "start", "end", "confidence"} for w in final_words
+    )
 
 
-def test_stream_rejects_beam_and_timestamps(tmp_path):
+@pytest.mark.parametrize("total", [9500, CHUNK - 700])
+def test_streaming_words_match_offline_segments(evaluator, total):
+    """word_timestamps mode: `finish()`-time words equal the offline
+    `transcribe_long_segments` (text + frame spans exact; confidences to
+    float addition order), and committed words never retract mid-stream
+    (all but the still-open last word are final)."""
+    audio = _audio(total, seed=5)
+    want_text, want_words = evaluator.transcribe_long_segments(
+        audio, chunk_samples=CHUNK, context_samples=CONTEXT
+    )
+    st = StreamingTranscriber(
+        evaluator, chunk_samples=CHUNK, context_samples=CONTEXT,
+        word_timestamps=True,
+    )
+    rng = np.random.default_rng(6)
+    lo, snapshots = 0, []
+    while lo < total:
+        n = int(rng.integers(1, 1300))
+        st.feed(audio[lo : lo + n])
+        snapshots.append(st.words)
+        lo += n
+    final_text = st.finish()
+    final_words = st.words
+
+    assert final_text == want_text
+    assert [
+        (w["word"], w["start_frame"], w["end_frame"]) for w in final_words
+    ] == [
+        (w["word"], w["start_frame"], w["end_frame"]) for w in want_words
+    ]
+    for got, want in zip(final_words, want_words):
+        assert got["confidence"] == pytest.approx(want["confidence"], abs=2e-4)
+        assert got["start"] == pytest.approx(want["start"])
+    # monotone commitment: every snapshot's words (minus its still-open
+    # last word) are a prefix of the final words
+    for snap in snapshots:
+        stable = snap[:-1]
+        assert [
+            (w["word"], w["start_frame"]) for w in stable
+        ] == [
+            (w["word"], w["start_frame"]) for w in final_words[: len(stable)]
+        ]
+
+
+def test_streaming_words_requires_flag(evaluator):
+    st = StreamingTranscriber(
+        evaluator, chunk_samples=CHUNK, context_samples=CONTEXT
+    )
+    with pytest.raises(ValueError, match="word_timestamps"):
+        _ = st.words
+
+
+def test_stream_rejects_beam(tmp_path):
     model_dir = str(tmp_path / "model")
     Wav2Vec2ForCTC(Wav2Vec2Config(**TINY), seed=0).save_pretrained(model_dir)
     env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
