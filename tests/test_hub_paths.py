@@ -35,7 +35,9 @@ def test_from_pretrained_model_id_downloads_via_hub(tiny_saved, monkeypatch):
     d, model = tiny_saved
     calls = []
 
-    def fake_snapshot_download(model_id):
+    def fake_snapshot_download(model_id, **kwargs):
+        # the real API accepts ignore_patterns etc.; the loader prunes
+        # never-read flax weights from the download
         calls.append(model_id)
         return d
 
