@@ -257,6 +257,38 @@ def test_hf_snapshot_ignores_hf_layout_h5(tmp_path):
     np.testing.assert_allclose(np.asarray(model(speech)), expected, atol=2e-4)
 
 
+@requires_transformers
+def test_hubert_runs_decode_surfaces(tmp_path):
+    """A converted HuBERT model drives the same decode surfaces as
+    wav2vec2: greedy batch, word timestamps, beam search, and forced
+    alignment (the 'every surface works' claim of the family support)."""
+    import jax.numpy as jnp
+    import torch
+    import transformers
+
+    from gsoc_wav2vec2_tpu.convert.torch_to_jax import params_from_hf_model
+    from gsoc_wav2vec2_tpu.evaluation import GreedyCTCEvaluator
+
+    cfg = tiny_config()
+    torch.manual_seed(0)
+    hf_model = transformers.HubertForCTC(hubert_hf_config(cfg)).eval()
+    params = params_from_hf_model(hf_model, cfg)
+    speech = np.random.RandomState(5).randn(2, 4000).astype(np.float32)
+
+    ev = GreedyCTCEvaluator(cfg, params, compute_dtype=jnp.float32)
+    texts = ev.predict_batch(speech)
+    segs = ev.predict_segments(speech)
+    assert [t for t, _ in segs] == texts
+    beam = GreedyCTCEvaluator(
+        cfg, params, compute_dtype=jnp.float32, beam_width=4
+    )
+    beam_texts = beam.predict_batch(speech)
+    assert all(isinstance(t, str) for t in beam_texts)
+    text, words = ev.align_segments(speech[0], "HELLO WORLD")
+    assert text == "HELLO WORLD"
+    assert [w["word"] for w in words] == ["HELLO", "WORLD"]
+
+
 def test_feat_proj_layer_norm_stays_out_of_reference_json():
     """Extension-field contract: the default (True) is omitted from
     config.json so reference load-back keeps working; False is written."""
