@@ -132,10 +132,38 @@ for pos in range(len(tiny_wav)):
         checked["wav"] += 1
     tiny_wav[pos] = orig
 
-# --- TFRecord --------------------------------------------------------------
+# batch decode (the C++ thread pool): hostile and valid files mixed in one
+# call — per-file failures must surface as OSError without poisoning the
+# pool or the other decodes
 import tempfile
 
 tmp = tempfile.mkdtemp()
+good = encode_flac((rng.standard_normal(500) * 1000).astype(np.int16))
+paths = []
+for i in range(12):
+    p = f"{tmp}/batch{i}.flac"
+    if i % 3 == 0:
+        blob = good
+    elif i % 3 == 1:
+        blob = bytes(good[: int(rng.integers(0, len(good)))])  # truncated
+    else:
+        m = bytearray(good)
+        m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+        blob = bytes(m)
+    open(p, "wb").write(blob)
+    paths.append(p)
+try:
+    decoded = native_io.decode_flac_batch(paths)
+    for (audio, rate), p in zip(decoded, paths):
+        assert len(audio) >= 0 and rate >= 0
+except OSError:
+    pass  # a failed member surfaces per-call; either behavior is clean
+# the valid files alone must decode through the pool
+ok = native_io.decode_flac_batch([f"{tmp}/batch0.flac", f"{tmp}/batch3.flac"])
+assert all(len(a) == 500 and r == 16000 for a, r in ok)
+checked["flac"] += 12
+
+# --- TFRecord --------------------------------------------------------------
 path = f"{tmp}/fuzz.tfrecord"
 with native_io.TFRecordWriter(path) as w:
     for i in range(4):
