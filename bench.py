@@ -24,6 +24,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import tempfile
 import time
 
@@ -41,6 +44,72 @@ TRAIN_BATCH = 32  # reference per-replica batch (`main.py:156`)
 TRAIN_ITERS = 8
 EXPORT_LEN = 50000  # reference ONNX latency shape (wav2vec2_onnx.ipynb)
 PEAK_BF16_FLOPS = 197e12  # TPU v5e bf16 peak (per chip) — the bench target
+
+# Wedge resilience: this environment's tunneled TPU grant can wedge HARD
+# (observed 5+ h in round 3 — `jax.devices()` itself hangs, which forfeited
+# the whole round-3 capture, BENCH_r03 rc=1).  The backend is therefore
+# probed in a short-timeout SUBPROCESS before this process ever touches it,
+# with retries on a backoff inside a total budget; and the headline JSON is
+# printed immediately after the RTF measurement so a late hang in a
+# secondary section can no longer forfeit the capture.
+PROBE_TIMEOUT_S = 90  # one probe attempt (verify-skill recipe)
+PROBE_BACKOFF_S = int(os.environ.get("W2V2_BENCH_PROBE_BACKOFF_S", "90"))
+PROBE_BUDGET_S = int(os.environ.get("W2V2_BENCH_PROBE_BUDGET_S", "1800"))
+# soft budget for the secondary sections (train/accum/robust/pretrain);
+# once exceeded, remaining sections are skipped so the final re-print lands
+BENCH_BUDGET_S = int(os.environ.get("W2V2_BENCH_BUDGET_S", "2400"))
+
+
+def _probe_backend() -> bool:
+    """One subprocess probe: does `jax.devices()` come up within 90 s?
+
+    Runs in a child so a wedged tunnel grant hangs (and is killed in) the
+    child, never this process — a wedged grant makes even backend *teardown*
+    hang, so the parent must stay backend-free until a probe succeeds.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=PROBE_TIMEOUT_S,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_backend() -> bool:
+    """Probe-with-backoff until the backend answers or the budget runs out."""
+    deadline = time.monotonic() + PROBE_BUDGET_S
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        if _probe_backend():
+            print(
+                f"backend probe OK (attempt {attempt}, "
+                f"{time.monotonic() - t0:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            return True
+        now = time.monotonic()
+        if now + PROBE_BACKOFF_S >= deadline:
+            print(
+                f"backend probe FAILED after {attempt} attempts "
+                f"({PROBE_BUDGET_S}s budget) — TPU tunnel wedged",
+                file=sys.stderr,
+                flush=True,
+            )
+            return False
+        print(
+            f"backend probe attempt {attempt} failed; retrying in "
+            f"{PROBE_BACKOFF_S}s ({deadline - now:.0f}s budget left)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(PROBE_BACKOFF_S)
 
 
 def _train_step_flops(config, batch: int, audio_len: int) -> float:
@@ -71,6 +140,53 @@ def _train_step_flops(config, batch: int, audio_len: int) -> float:
     enc = config.num_layers * (attn_proj + attn_sdp + ffn)
     head = 2 * batch * frames * h * config.vocab_size
     return conv + 3.0 * (proj + pos + enc + head)
+
+
+def _pretrain_step_flops(batch: int, audio_len: int, config=None) -> float:
+    """Analytic model FLOPs per pretraining optimizer step (base config).
+
+    Same MFU convention as `_train_step_flops` (matmul MACs x2, no remat
+    recompute, elementwise ignored), but NOTHING is frozen in pretraining —
+    every matmul costs ~3x forward — and the step adds the quantizer
+    (weight_proj + codebook combine), both contrastive projection heads and
+    the (K+1)-way cosine-similarity logits.
+    """
+    from gsoc_wav2vec2_tpu import Wav2Vec2PretrainingConfig
+
+    if config is None:
+        config = Wav2Vec2PretrainingConfig()
+    t = audio_len
+    conv = 0
+    cin = 1
+    for f, k, s in zip(config.filter_sizes, config.kernal_sizes, config.strides):
+        t = (t - k) // s + 1
+        conv += 2 * batch * t * k * cin * f
+        cin = f
+    frames, h = t, config.hidden_size
+    proj = 2 * batch * frames * cin * h
+    pos = (
+        2 * batch * frames * config.num_conv_pos_embeddings
+        * (h // config.num_conv_pos_embedding_groups) * h
+    )
+    attn_proj = 4 * 2 * batch * frames * h * h
+    attn_sdp = 2 * 2 * batch * frames * frames * h
+    ffn = 2 * 2 * batch * frames * h * config.intermediate_size
+    enc = config.num_layers * (attn_proj + attn_sdp + ffn)
+    gv = config.num_codevector_groups * config.num_codevectors_per_group
+    quant = 2 * batch * frames * cin * gv  # weight_proj logits
+    quant += (  # (BL,G,V) x (G,V,d/G) codebook combine
+        2 * batch * frames
+        * config.num_codevectors_per_group * config.codevector_dim
+    )
+    heads = 2 * batch * frames * h * config.proj_codevector_dim
+    heads += (
+        2 * batch * frames * config.codevector_dim * config.proj_codevector_dim
+    )
+    logits = (
+        2 * batch * frames * (config.num_negatives + 1)
+        * config.proj_codevector_dim
+    )
+    return 3.0 * (conv + proj + pos + enc + quant + heads + logits)
 
 
 def _bench_inference(config, params):
@@ -367,15 +483,44 @@ def _bench_pretrain_step(robust: bool = False):
     return (time.perf_counter() - start) / TRAIN_ITERS * 1000
 
 
-def main() -> None:
+def _headline(rtf: float, extra: dict) -> str:
+    return json.dumps(
+        {
+            "metric": "inference_rtf_base_bf16_b16",
+            "value": round(rtf, 2),
+            "unit": "audio_sec/sec",
+            "vs_baseline": round(rtf / BASELINE_RTF, 2),
+            "extra": extra,
+        }
+    )
+
+
+def main() -> int:
+    if not _wait_for_backend():
+        return 1
+
     from gsoc_wav2vec2_tpu import Wav2Vec2Config
     from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
 
     config = Wav2Vec2Config()
     params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
 
+    start = time.monotonic()
     rtf = _bench_inference(config, params)
+    # capture-first: the headline lands NOW; a hang in any secondary
+    # section below can no longer forfeit the round's bench evidence
+    # (round 3 lost all 8 measured surfaces to one late wedge)
+    print(_headline(rtf, {"partial": "secondary sections still running"}),
+          flush=True)
+
     extra = {}
+
+    def over_budget(section: str) -> bool:
+        if time.monotonic() - start > BENCH_BUDGET_S:
+            extra[f"{section}_skipped"] = f"time budget ({BENCH_BUDGET_S}s)"
+            return True
+        return False
+
     # export first: the train step donates (and thus consumes) `params`
     try:
         export_ms, live_ms = _bench_export(config, params)
@@ -384,51 +529,54 @@ def main() -> None:
     except Exception as e:  # secondary metric must not kill the headline
         extra["export_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        train_ms, params = _bench_train_step(config, params)
-        extra["train_ms_per_step_b32_246k_remat"] = round(train_ms, 1)
-        extra["train_audio_sec_per_sec"] = round(
-            TRAIN_BATCH * AUDIO_LEN / SAMPLE_RATE / (train_ms / 1000), 0
-        )
-        extra["train_mfu"] = round(
-            _train_step_flops(config, TRAIN_BATCH, AUDIO_LEN)
-            / (train_ms / 1000) / PEAK_BF16_FLOPS,
-            3,
-        )
+        if not over_budget("train"):
+            train_ms, params = _bench_train_step(config, params)
+            extra["train_ms_per_step_b32_246k_remat"] = round(train_ms, 1)
+            extra["train_audio_sec_per_sec"] = round(
+                TRAIN_BATCH * AUDIO_LEN / SAMPLE_RATE / (train_ms / 1000), 0
+            )
+            extra["train_mfu"] = round(
+                _train_step_flops(config, TRAIN_BATCH, AUDIO_LEN)
+                / (train_ms / 1000) / PEAK_BF16_FLOPS,
+                3,
+            )
     except Exception as e:
         extra["train_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        accum_ms, params = _bench_grad_accum(config, params)
-        extra["train_ms_per_update_b256_accum8"] = round(accum_ms, 1)
+        if not over_budget("accum"):
+            accum_ms, params = _bench_grad_accum(config, params)
+            extra["train_ms_per_update_b256_accum8"] = round(accum_ms, 1)
     except Exception as e:
         extra["accum_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        robust_rtf, robust_train_ms = _bench_robust()
-        extra["robust_rtf_b8"] = round(robust_rtf, 1)
-        extra["robust_train_ms_per_step_b8_246k_remat"] = round(robust_train_ms, 1)
+        if not over_budget("robust"):
+            robust_rtf, robust_train_ms = _bench_robust()
+            extra["robust_rtf_b8"] = round(robust_rtf, 1)
+            extra["robust_train_ms_per_step_b8_246k_remat"] = round(
+                robust_train_ms, 1
+            )
     except Exception as e:
         extra["robust_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        extra["pretrain_ms_per_step_b8_246k_remat"] = round(
-            _bench_pretrain_step(), 1
-        )
-        extra["pretrain_robust_ms_per_step_b8_246k_remat"] = round(
-            _bench_pretrain_step(robust=True), 1
-        )
+        if not over_budget("pretrain"):
+            pretrain_ms = _bench_pretrain_step()
+            extra["pretrain_ms_per_step_b8_246k_remat"] = round(pretrain_ms, 1)
+            extra["pretrain_mfu"] = round(
+                _pretrain_step_flops(PRETRAIN_BATCH, AUDIO_LEN)
+                / (pretrain_ms / 1000) / PEAK_BF16_FLOPS,
+                3,
+            )
+            extra["pretrain_robust_ms_per_step_b8_246k_remat"] = round(
+                _bench_pretrain_step(robust=True), 1
+            )
     except Exception as e:
         extra["pretrain_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "inference_rtf_base_bf16_b16",
-                "value": round(rtf, 2),
-                "unit": "audio_sec/sec",
-                "vs_baseline": round(rtf / BASELINE_RTF, 2),
-                "extra": extra,
-            }
-        )
-    )
+    extra["bench_wall_s"] = round(time.monotonic() - start, 0)
+    # re-print WITH extras: the last JSON line is the complete record
+    print(_headline(rtf, extra), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
