@@ -187,6 +187,34 @@ class CommonDataLoader:
             attention_mask[i, : len(s)] = 1.0
         return {"speech": speech, "labels": labels, "attention_mask": attention_mask}
 
+    def repad_batch(self, batch: dict, audio_len: int) -> dict:
+        """Extend an already-padded batch's audio axis to `audio_len`
+        (pad-id speech, zero mask; labels untouched).
+
+        The multi-host bucket-consensus step
+        (`parallel/multihost.py::lockstep_bucket_batches`) uses this to
+        bring every host's next batch to the globally agreed shape.
+        Semantically the sample just landed in a larger bucket — masks and
+        length-aware loss already keep bucket padding out of the gradient.
+        """
+        cur = int(batch["speech"].shape[1])
+        if cur == audio_len:
+            return batch
+        if cur > audio_len:
+            raise ValueError(
+                f"consensus length {audio_len} below batch length {cur}"
+            )
+        pad = ((0, 0), (0, audio_len - cur))
+        out = dict(batch)
+        out["speech"] = np.pad(
+            batch["speech"], pad, constant_values=self.audio_pad_id
+        ).astype(SPEECH_DTYPE)
+        if "attention_mask" in batch:
+            out["attention_mask"] = np.pad(batch["attention_mask"], pad).astype(
+                SPEECH_DTYPE
+            )
+        return out
+
     def _shuffled(self, sample_iter, seed: Optional[int]):
         """Reservoir shuffle (the behaviour the reference *intended* at
         `data_utils.py:59-60` — its call was a no-op); `seed=None` streams

@@ -648,38 +648,69 @@ class GreedyCTCEvaluator:
         This is the capability upgrade over the reference (see module
         docstring): no-padding-quality WER without eager fallback.
 
-        Single-process only under a mesh (batch rows shard over the data
-        axis); multi-host pods should use `evaluate_padded` — per-host
-        bucket streams diverge in shape, which SPMD lockstep cannot serve.
+        Multi-host pods: each host flushes its OWN buckets, but every flush
+        runs at a consensus shape — one tiny allgather exchanges
+        ``(have_flush, bucket)`` per step, all hosts pad rows to
+        ``batch_size`` and audio to the max bucket (dummy/filler rows carry
+        length 0 and decode zero frames), and hosts that ran dry keep
+        feeding empty flushes until all are done.  The compiled-shape count
+        stays bounded by the bucket set, and pods are no longer forced into
+        `evaluate_padded`'s whole-corpus pad (whose WER cost this mode
+        exists to eliminate).  Note the base-family caveat
+        (`docs/MIGRATING.md`): consensus re-padding can move near-tie
+        decodes by a frame exactly like any padded batch.
         """
-        if self._multiprocess:
-            raise NotImplementedError(
-                "bucketed evaluation is per-host-shape-divergent; use "
-                "evaluate_padded on multi-host runs"
-            )
         if buckets is None:
             buckets = default_buckets()
         buckets = sorted(buckets)
         pending = defaultdict(list)  # bucket -> [(audio, text)]
         refs, hyps = [], []
 
-        def flush(bucket):
-            entries = pending.pop(bucket, [])
-            for start in range(0, len(entries), batch_size):
-                chunk = entries[start : start + batch_size]
-                speech = np.zeros((len(chunk), bucket), np.float32)
-                lengths = np.zeros((len(chunk),), np.int64)
-                for i, (audio, _) in enumerate(chunk):
-                    speech[i, : len(audio)] = audio[:bucket]
-                    lengths[i] = min(len(audio), bucket)
-                hyps.extend(self.predict_batch(speech, lengths))
-                refs.extend(t for _, t in chunk)
+        def flush(entries, bucket, fixed_rows: Optional[int]):
+            rows = fixed_rows or len(entries)
+            speech = np.zeros((rows, bucket), np.float32)
+            lengths = np.zeros((rows,), np.int64)
+            for i, (audio, _) in enumerate(entries):
+                speech[i, : min(len(audio), bucket)] = audio[:bucket]
+                lengths[i] = min(len(audio), bucket)
+            out = self.predict_batch(speech, lengths)
+            hyps.extend(out[: len(entries)])
+            refs.extend(t for _, t in entries)
 
-        for audio, text in samples:
-            bucket = next((b for b in buckets if len(audio) <= b), buckets[-1])
-            pending[bucket].append((audio, text))
-            if len(pending[bucket]) == batch_size:
-                flush(bucket)
-        for bucket in list(pending):
-            flush(bucket)
-        return wer(refs, hyps), len(refs)
+        def flushes():
+            """Yield (entries, bucket) units: full batches as pools fill,
+            then the per-bucket tails in deterministic (sorted) order."""
+            for audio, text in samples:
+                bucket = next(
+                    (b for b in buckets if len(audio) <= b), buckets[-1]
+                )
+                pending[bucket].append((audio, text))
+                if len(pending[bucket]) == batch_size:
+                    yield pending.pop(bucket), bucket
+            for bucket in sorted(pending):
+                entries = pending.pop(bucket)
+                for start in range(0, len(entries), batch_size):
+                    yield entries[start : start + batch_size], bucket
+
+        if not self._multiprocess:
+            for entries, bucket in flushes():
+                flush(entries, bucket, None)
+            return wer(refs, hyps), len(refs)
+
+        from jax.experimental import multihost_utils
+
+        it = flushes()
+        while True:
+            try:
+                entries, bucket = next(it)
+                have = 1
+            except StopIteration:
+                entries, bucket, have = [], 0, 0
+            info = multihost_utils.process_allgather(
+                np.asarray([have, bucket], np.int64)
+            )
+            if int(np.max(info[:, 0])) == 0:
+                break
+            # consensus shape: every host presents (batch_size, max bucket)
+            flush(entries, int(np.max(info[:, 1])), batch_size)
+        return self._aggregate_wer(refs, hyps)

@@ -147,3 +147,45 @@ def host_local_batch_to_global(batch, mesh: Mesh):
             for k, v in batch.items()
         }
     return jax.make_array_from_process_local_data(sharding, batch)
+
+
+def lockstep_bucket_batches(iterator, repad):
+    """Lockstep a BUCKETED per-host batch stream via per-step shape consensus.
+
+    Bucketed loaders emit per-bucket audio shapes
+    (`data/loaders.py::_bucket_batches`), and each host's bucket fill order
+    depends on its own shard's length distribution — but multi-host SPMD
+    needs every host presenting the SAME local shape each step (the global
+    array assembly and the compiled program both demand it; the reference's
+    pod recipe sidesteps this only by truncating everything to one shape,
+    `/root/reference/src/data_utils.py:75-78`).
+
+    One tiny int allgather per step exchanges ``(have_batch, audio_len)``;
+    the consensus shape is the MAX audio length over hosts, and each host
+    brings its batch to it with ``repad`` (the loaders'
+    ``repad_batch`` — pad-id audio, zero mask).  Mask-aware / length-aware
+    training keeps the extra padding out of the loss exactly as
+    within-bucket padding already is, and the compiled-shape count stays
+    bounded by the bucket set.  The stream stops when ANY host runs dry
+    (training semantics, like `lockstep_batches`).  Single-process:
+    zero-overhead passthrough.
+    """
+    if jax.process_count() == 1:
+        yield from iterator
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    it = iter(iterator)
+    while True:
+        try:
+            batch = next(it)
+            have, blen = 1, int(batch["speech"].shape[1])
+        except StopIteration:
+            batch, have, blen = None, 0, 0
+        info = multihost_utils.process_allgather(
+            np.asarray([have, blen], np.int64)
+        )
+        if int(np.min(info[:, 0])) == 0:
+            return
+        yield repad(batch, int(np.max(info[:, 1])))

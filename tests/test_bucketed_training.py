@@ -171,3 +171,97 @@ def test_train_cli_bucketed_end_to_end(tmp_path):
     assert os.path.isfile(
         os.path.join(ckpt_dir, run_dirs[0], "final", "config.json")
     )
+
+
+def test_repad_batch_extends_audio_and_mask_only():
+    """`repad_batch` (the multi-host bucket-consensus primitive) must pad
+    speech with the pad id and the mask with zeros, leave labels untouched,
+    be a no-op at the current length, and refuse to shrink."""
+    import pytest
+
+    loader = _loader(bucket_boundaries=[500, 2000], audio_pad_id=0)
+    [batch] = list(
+        loader.batchify(iter(_samples([300, 400])), drop_remainder=True)
+    )
+    assert batch["speech"].shape == (2, 500)
+
+    out = loader.repad_batch(batch, 2000)
+    assert out["speech"].shape == (2, 2000)
+    assert out["attention_mask"].shape == (2, 2000)
+    np.testing.assert_array_equal(out["speech"][:, :500], batch["speech"])
+    assert np.all(out["speech"][:, 500:] == 0.0)
+    assert np.all(out["attention_mask"][:, 500:] == 0.0)
+    np.testing.assert_array_equal(out["labels"], batch["labels"])
+    # true lengths preserved in the mask
+    np.testing.assert_array_equal(
+        out["attention_mask"].sum(axis=1), [300, 400]
+    )
+
+    assert loader.repad_batch(batch, 500) is batch  # no-op passthrough
+    with pytest.raises(ValueError):
+        loader.repad_batch(batch, 400)
+
+
+def test_repadded_batch_loss_equals_larger_bucket_assignment():
+    """Consensus re-padding must be semantically a larger-bucket
+    assignment: the length-aware train loss over a bucket-500 batch
+    repadded to 2000 equals the loss over the same samples padded to 2000
+    by the loader directly."""
+    config = Wav2Vec2Config(**TINY)
+    tx = create_optimizer(1e-3)
+
+    def loss_of(batch):
+        # fresh params per call: the step donates (consumes) the state
+        params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=jax.jit(tx.init)(params),
+        )
+        step = make_train_step(
+            config, tx, division_factor=2, with_attention_mask=True,
+            length_aware=True, compute_dtype=jnp.float32,
+        )
+        _, metrics = step(
+            state, {k: jnp.asarray(v) for k, v in batch.items()},
+            jax.random.PRNGKey(9),
+        )
+        return float(metrics["loss"])
+
+    samples = _samples([300, 400])
+    small = _loader(bucket_boundaries=[500, 2000])
+    [b_small] = list(small.batchify(iter(samples), drop_remainder=True))
+    big = _loader(bucket_boundaries=[2000])
+    [b_big] = list(big.batchify(iter(samples), drop_remainder=True))
+
+    repadded = small.repad_batch(b_small, 2000)
+    for k in ("speech", "labels", "attention_mask"):
+        np.testing.assert_array_equal(repadded[k], b_big[k])
+    assert loss_of(repadded) == loss_of(b_big)
+
+
+def test_train_cli_refuses_untrainable_bucket_boundary(tmp_path):
+    """A top bucket beyond the flash-attention training cap must fail
+    LOUDLY at the CLI layer, not as an opaque compile error deep inside
+    the first step (VERDICT r3 #5)."""
+    from gsoc_wav2vec2_tpu import Wav2Vec2ForCTC
+    from gsoc_wav2vec2_tpu.cli.train import TrainingArgs, main
+    from gsoc_wav2vec2_tpu.ops.pallas.flash_attention import MAX_KV_TRAIN
+
+    import pytest
+
+    config = Wav2Vec2Config(**TINY)
+    model_dir = str(tmp_path / "model")
+    Wav2Vec2ForCTC(config, seed=0).save_pretrained(model_dir)
+
+    # tiny [5,2] stack: 10 samples/frame -> 32769 frames needs ~327 700
+    too_long = (MAX_KV_TRAIN + 2) * 10 + 20
+    assert int(config.conv_output_length(too_long)) > MAX_KV_TRAIN
+    args = TrainingArgs(
+        model_id=model_dir,
+        train_dir=str(tmp_path),
+        bucket_boundaries=[2000, too_long],
+        ckpt_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    with pytest.raises(ValueError, match="attention cap"):
+        main(args)
