@@ -4,9 +4,15 @@ Why: at the reference's eval shape (246000 samples -> L=768 frames) the
 unfused attention materialises a (B, H, L, L) float32 score tensor in HBM —
 ~226 MB per layer at B=8/H=12, ~2.7 GB of round-trip traffic across 12
 layers.  wav2vec2's sequences are short enough that a whole head's K/V tile
-fits in VMEM, so the kernels run one (batch, head) per grid step and keep
-scores entirely on-chip.  No online-softmax rescaling is needed at these
-lengths; beyond MAX_KV the caller falls back to XLA.
+fits in VMEM, so the primary kernels run one (batch, head) per grid step
+and keep scores entirely on-chip with NO online-softmax rescaling (measured
+faster than the blocked recurrence at recipe shapes).  Beyond
+WHOLE_KV_LIMIT (4096 frames) a second kernel family takes over: the
+standard kv-blocked online-softmax forward plus a two-pass (dq, dk/dv)
+backward whose VMEM footprint is independent of L — lifting both the
+inference and the training cap to MAX_KV(_TRAIN) = 32768 frames (~11 min
+of audio), where the XLA fallback cannot train at all (a 76 GB dropout
+mask at 8k frames).
 
 Training support (custom VJP):
   * forward also emits the per-row logsumexp; backward recomputes the
@@ -37,9 +43,17 @@ DEFAULT_Q_BLOCK = 256
 # whole-K, q-blocked design: K/V live whole in VMEM, scores exist only as
 # (q_block, L) tiles in BOTH directions, so the cap is one (L, D) K tile
 # plus a few (q_block, L) f32 tiles — 4096 frames covers every wav2vec2
-# shape (246000 samples -> 768 frames, 400000 -> 1249) with headroom
-MAX_KV = 4096
-MAX_KV_TRAIN = 4096
+# shape (246000 samples -> 768 frames, 400000 -> 1249) with headroom.
+# Beyond it the kv-blocked online-softmax kernels take over (the standard
+# flash recurrence: VMEM scales with the BLOCK sizes, not L), raising the
+# cap to 32768 frames (~10.9 M samples, ~11 min of 16 kHz audio) in both
+# inference and training — past that, lse/delta rows and the (B, H, L, D)
+# residuals themselves stop being sensible single-chip objects.
+WHOLE_KV_LIMIT = 4096  # whole-K/V fast path up to here (measured faster)
+MAX_KV = 32768
+MAX_KV_TRAIN = 32768
+BLOCKED_Q = 512  # kv-blocked path tile sizes: (512, 1024) f32 score tile
+BLOCKED_KV = 1024  # = 2 MB; K/V/q/acc blocks add ~0.5 MB — VMEM-safe at any L
 WHOLE_L_BWD_LIMIT = 1024  # backward uses one whole-L q block up to this L
 # Forward mirrors the backward's whole-L policy: at the recipe shape
 # (768 frames) one (L, L) f32 score tile is 2.4 MB — a single grid step
@@ -49,7 +63,8 @@ WHOLE_L_BWD_LIMIT = 1024  # backward uses one whole-L q block up to this L
 WHOLE_L_FWD_LIMIT = 1024
 
 
-def _dropout_mask(shape, rate: float, seed, row_offset):
+def _dropout_mask(shape, rate: float, seed, row_offset, col_offset=0,
+                  row_stride=None):
     """Counter-based keep-mask: integer mix of (seed, GLOBAL element
     index).  Stateless and layout-independent, so the forward and backward
     kernels regenerate bit-identical masks regardless of their q-block
@@ -70,8 +85,13 @@ def _dropout_mask(shape, rate: float, seed, row_offset):
     Bernoulli(1-rate) per element either way.
     """
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row_offset)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    x = rows * jnp.uint32(shape[1]) + cols
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(col_offset)
+    # `row_stride` is the GLOBAL row length (defaults to this block's width,
+    # which is correct when blocks span whole rows); the kv-blocked kernels
+    # pass the padded L so (row, col) hashes to the same element index no
+    # matter how any kernel tiles the score matrix
+    stride = shape[1] if row_stride is None else row_stride
+    x = rows * jnp.uint32(stride) + cols
     x = (x ^ (seed.astype(jnp.uint32) * jnp.uint32(2654435761))) * jnp.uint32(
         0x7FEB352D
     )
@@ -312,21 +332,380 @@ def _flash_bwd(q, k, v, bias, seed, lse, dout, dropout_rate: float,
     return unflat(dq), unflat(dk).astype(q.dtype), unflat(dv).astype(q.dtype)
 
 
+def _pick_block(limit: int, l: int) -> int:
+    """Largest power-of-two-halving of `limit` that divides `l` (l is a
+    multiple of 128, so this terminates at >= 128)."""
+    b = min(limit, l)
+    while l % b:
+        b //= 2
+    return b
+
+
+def _fwd_blocked_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
+                        lse_ref, acc_ref, m_ref, l_ref, *,
+                        dropout_rate: float, nk: int, l_total: int):
+    """Online-softmax forward, grid (B*H, L/bq, L/bk) with kv minor.
+
+    The classic flash recurrence the whole-K kernels skip: running row max
+    `m`, running normaliser `l` and an unnormalised accumulator `acc` live
+    in VMEM scratch across the kv axis; each step rescales them by
+    `exp(m_prev - m_new)` and folds in one (bq, bk) score tile, so VMEM
+    scales with the BLOCK sizes instead of L.  Dropout applies the keep
+    mask to the UNNORMALISED probabilities — masking commutes with the
+    final /l, so the result matches the whole-K kernel's
+    dropout-after-normalise bit-for-bit in exact arithmetic (and the mask
+    itself is identical: `_dropout_mask` hashes global (row, col) element
+    indices with the global row stride).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias_ref[0]  # (bq, bk)
+
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # first step: exp(-inf - finite) = 0
+    p = jnp.exp(s - m_new)
+    l_ref[...] = jnp.broadcast_to(
+        alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(
+            p.shape, dropout_rate, seed_ref[0] + i,
+            j * p.shape[0], kk * p.shape[1], l_total,
+        )
+        p = jnp.where(keep, p / (1.0 - dropout_rate), jnp.zeros_like(p))
+
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kk == nk - 1)
+    def _finalize():
+        out_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(out_ref.dtype)
+        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+
+
+def _dq_blocked_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref,
+                       delta_ref, do_ref, dq_ref, *, dropout_rate: float,
+                       l_total: int):
+    """dq pass, grid (B*H, L/bq, L/bk): each step recomputes one (bq, bk)
+    probability tile from (q, k, lse) and accumulates `ds @ k` into the
+    f32 dq block, which revisits index (i, j) across the minor kv axis.
+    `delta` (the per-row softmax correction Σ dout·out) is computed once in
+    XLA from the saved forward output — with dropout it equals
+    Σ_k r·dpt exactly as in the whole-K kernel's in-row reduction."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias_ref[0]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # (bq, bk)
+    dpt = jax.lax.dot_general(
+        do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(
+            p.shape, dropout_rate, seed_ref[0] + i,
+            j * p.shape[0], kk * p.shape[1], l_total,
+        )
+        dp = jnp.where(keep, dpt / (1.0 - dropout_rate), jnp.zeros_like(dpt))
+    else:
+        dp = dpt
+    ds = (p * (dp - delta_ref[0, 0][:, None])).astype(q.dtype)
+
+    @pl.when(kk == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    dq_ref[0] += jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dkv_blocked_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref,
+                        delta_ref, do_ref, dk_ref, dv_ref, *,
+                        dropout_rate: float, l_total: int):
+    """dk/dv pass, grid (B*H, L/bk, L/bq): the transpose iteration order —
+    for each kv block the q axis is minor, so the f32 dk/dv blocks revisit
+    index (i, kk) across consecutive steps and accumulate `ds^T @ q` /
+    `r^T @ dout` without any cross-step reduction leaving VMEM."""
+    i = pl.program_id(0)
+    kk = pl.program_id(1)
+    j = pl.program_id(2)
+    q = q_ref[0]   # (bq, d)
+    k = k_ref[0]   # (bk, d)
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias_ref[0]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # (bq, bk)
+    dpt = jax.lax.dot_general(
+        do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(
+            p.shape, dropout_rate, seed_ref[0] + i,
+            j * p.shape[0], kk * p.shape[1], l_total,
+        )
+        scale = 1.0 / (1.0 - dropout_rate)
+        r = jnp.where(keep, p * scale, jnp.zeros_like(p))
+        dp = jnp.where(keep, dpt * scale, jnp.zeros_like(dpt))
+    else:
+        r = p
+        dp = dpt
+    ds = (p * (dp - delta_ref[0, 0][:, None])).astype(q.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jax.lax.dot_general(  # ds^T @ q
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[0] += jax.lax.dot_general(  # r^T @ dout
+        r.astype(v.dtype), do.astype(v.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flash_fwd_blocked(q, k, v, bias, seed, dropout_rate: float,
+                       interpret: bool):
+    b, h, l, d = q.shape
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
+    bq = _pick_block(BLOCKED_Q, l)
+    bk = _pick_block(BLOCKED_KV, l)
+    nk = l // bk
+    grid = (b * h, l // bq, nk)
+    flat = lambda x: x.reshape(b * h, l, d)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_blocked_kernel, dropout_rate=dropout_rate, nk=nk, l_total=l
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda i, j, kk, *_: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, d), lambda i, j, kk, *_: (i, kk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, d), lambda i, j, kk, *_: (i, kk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bk), lambda i, j, kk, *_, h=h: (i // h, 0, kk),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                # revisited across the kv axis; written at the last step
+                pl.BlockSpec((1, bq, d), lambda i, j, kk, *_: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bq), lambda i, j, kk, *_: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, d), jnp.float32),    # acc
+                pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-bcast)
+                pltpu.VMEM((bq, 128), jnp.float32),  # running normaliser
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, l), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * l * l * d,
+            bytes_accessed=4 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(seed, flat(q), flat(k), flat(v), bias.reshape(b, 1, l))
+    return out.reshape(b, h, l, d), lse.reshape(b, h, l)
+
+
+def _flash_bwd_blocked(q, k, v, bias, seed, lse, out, dout,
+                       dropout_rate: float, interpret: bool):
+    b, h, l, d = q.shape
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, 1, l))
+    bq = _pick_block(BLOCKED_Q, l)
+    bk = _pick_block(BLOCKED_KV, l)
+    flat = lambda x: x.reshape(b * h, l, d)
+    # per-row softmax correction Σ_d dout·out == Σ_k p·dp (the whole-K
+    # kernel reduces it in-row; blocked rows never exist whole, so it is
+    # one cheap XLA reduction over the saved forward output instead)
+    delta = jnp.sum(
+        out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1
+    ).reshape(b * h, 1, l)
+    lse_flat = lse.reshape(b * h, 1, l)
+
+    common_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, j, kk, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), lambda i, j, kk, *_: (i, kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), lambda i, j, kk, *_: (i, kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk), lambda i, j, kk, *_, h=h: (i // h, 0, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq), lambda i, j, kk, *_: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq), lambda i, j, kk, *_: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, d), lambda i, j, kk, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_blocked_kernel, dropout_rate=dropout_rate, l_total=l
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, l // bq, l // bk),
+            in_specs=common_specs,
+            out_specs=[
+                pl.BlockSpec((1, bq, d), lambda i, j, kk, *_: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b * h, l, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * h * l * l * d,
+            bytes_accessed=5 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(seed, flat(q), flat(k), flat(v), bias.reshape(b, 1, l), lse_flat,
+      delta, flat(dout))[0]
+
+    # transpose iteration: q minor so dk/dv revisit-accumulate per kv block
+    kv_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, kk, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), lambda i, kk, j, *_: (i, kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), lambda i, kk, j, *_: (i, kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk), lambda i, kk, j, *_, h=h: (i // h, 0, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq), lambda i, kk, j, *_: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq), lambda i, kk, j, *_: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, d), lambda i, kk, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_blocked_kernel, dropout_rate=dropout_rate, l_total=l
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, l // bk, l // bq),
+            in_specs=kv_specs,
+            out_specs=[
+                pl.BlockSpec((1, bk, d), lambda i, kk, j, *_: (i, kk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, d), lambda i, kk, j, *_: (i, kk, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, l, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, l, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * b * h * l * l * d,
+            bytes_accessed=6 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(seed, flat(q), flat(k), flat(v), bias.reshape(b, 1, l), lse_flat,
+      delta, flat(dout))
+
+    unflat = lambda x: x.reshape(b, h, l, d)
+    return (
+        unflat(dq).astype(q.dtype),
+        unflat(dk).astype(q.dtype),
+        unflat(dv).astype(q.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash_attention_core(q, k, v, bias, seed_f, dropout_rate, q_block,
                           interpret):
     seed = seed_f.reshape(1).astype(jnp.int32)
-    out, _ = _flash_fwd(q, k, v, bias, seed, dropout_rate, q_block, interpret)
+    if q.shape[2] > WHOLE_KV_LIMIT:
+        out, _ = _flash_fwd_blocked(q, k, v, bias, seed, dropout_rate, interpret)
+    else:
+        out, _ = _flash_fwd(q, k, v, bias, seed, dropout_rate, q_block, interpret)
     return out
 
 
 def _core_fwd(q, k, v, bias, seed_f, dropout_rate, q_block, interpret):
     seed = seed_f.reshape(1).astype(jnp.int32)
+    if q.shape[2] > WHOLE_KV_LIMIT:
+        out, lse = _flash_fwd_blocked(
+            q, k, v, bias, seed, dropout_rate, interpret
+        )
+        # the blocked backward also needs the forward OUTPUT (its per-row
+        # softmax correction is Σ dout·out — rows never exist whole there)
+        return out, (q, k, v, bias, seed_f, lse, out)
     out, lse = _flash_fwd(q, k, v, bias, seed, dropout_rate, q_block, interpret)
     return out, (q, k, v, bias, seed_f, lse)
 
 
 def _core_bwd(dropout_rate, q_block, interpret, residuals, dout):
+    if len(residuals) == 7:  # kv-blocked path (L > WHOLE_KV_LIMIT)
+        q, k, v, bias, seed_f, lse, out = residuals
+        seed = seed_f.reshape(1).astype(jnp.int32)
+        dq, dk, dv = _flash_bwd_blocked(
+            q, k, v, bias, seed, lse, out, dout, dropout_rate, interpret
+        )
+        return dq, dk, dv, jnp.zeros_like(bias), jnp.zeros_like(seed_f)
     q, k, v, bias, seed_f, lse = residuals
     seed = seed_f.reshape(1).astype(jnp.int32)
     dq, dk, dv = _flash_bwd(
@@ -464,9 +843,10 @@ def shard_mapped_flash_attention(
 def supports(l: int, d: int, *, training: bool = False) -> bool:
     """Whether the fused kernel can serve this shape/mode.
 
-    Any length up to the VMEM cap works (non-multiples of 128 are padded
-    with -inf key bias internally); the q-blocked backward keeps the same
-    cap in training.
+    Any length up to MAX_KV(_TRAIN) works (non-multiples of 128 are padded
+    with -inf key bias internally): whole-K/V kernels up to WHOLE_KV_LIMIT,
+    the kv-blocked online-softmax family beyond — in both inference and
+    training.
     """
     limit = MAX_KV_TRAIN if training else MAX_KV
     return l <= limit and d % 64 == 0

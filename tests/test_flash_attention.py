@@ -198,8 +198,10 @@ def test_supports_gate():
     assert supports(768, 64, training=True)
     assert supports(1249, 64, training=False)      # padded internally
     assert supports(1249, 64, training=True)       # the 400k-sample recipe shape
-    assert supports(4096, 64, training=True)       # q-blocked bwd cap
-    assert not supports(8192, 64, training=False)  # too long for VMEM
+    assert supports(4096, 64, training=True)       # whole-K/V fast path cap
+    assert supports(8192, 64, training=True)       # kv-blocked path (round 4)
+    assert supports(32768, 64, training=True)      # the lifted cap
+    assert not supports(32769, 64, training=False)  # lse/residuals stop scaling
 
 
 def test_flash_odd_length_padding():
@@ -402,3 +404,188 @@ def test_flash_bwd_blocking_invariant():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, err_msg=f"d{name}"
         )
+
+
+# --- kv-blocked long-sequence kernels (L > WHOLE_KV_LIMIT) --------------------
+
+import gsoc_wav2vec2_tpu.ops.pallas.flash_attention as fa_mod
+
+
+@pytest.fixture()
+def small_blocked(monkeypatch):
+    """Engage the kv-blocked dispatch at test-size lengths (the real
+    threshold is 4096 frames — too big for CPU interpret iteration)."""
+    monkeypatch.setattr(fa_mod, "WHOLE_KV_LIMIT", 128)
+    monkeypatch.setattr(fa_mod, "BLOCKED_Q", 64)
+    monkeypatch.setattr(fa_mod, "BLOCKED_KV", 128)
+
+
+def test_blocked_fwd_matches_reference_masked(small_blocked):
+    q, k, v = _qkv(jax.random.PRNGKey(30), b=2, h=2, l=384)
+    mask = np.ones((2, 384), np.float32)
+    mask[0, 300:] = 0.0
+    bias = mask_to_bias(jnp.asarray(mask))
+    got = flash_attention(q, k, v, bias, interpret=True)
+    want = _reference(q, k, v, bias)
+    np.testing.assert_allclose(
+        np.asarray(got)[0, :, :300], np.asarray(want)[0, :, :300], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[1], np.asarray(want)[1], atol=1e-4
+    )
+
+
+def test_blocked_grad_matches_reference(small_blocked):
+    q, k, v = _qkv(jax.random.PRNGKey(31), b=1, h=2, l=384)
+    mask = np.ones((1, 384), np.float32)
+    mask[0, 290:] = 0.0
+    bias = mask_to_bias(jnp.asarray(mask))
+    w = jax.random.normal(jax.random.PRNGKey(32), q.shape, jnp.float32)
+    valid = jnp.asarray(mask)[:, None, :, None]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, bias, interpret=True) * w * valid)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, bias) * w * valid)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, err_msg=f"d{name}"
+        )
+
+
+def test_blocked_dropout_grad_finite_differences(small_blocked):
+    """The three blocked kernels regenerate the dropout mask independently
+    (fwd online-softmax, dq pass, dk/dv pass) — any misalignment of the
+    global-index hash across the THREE different tilings shows up against
+    central finite differences."""
+    q, k, v = _qkv(jax.random.PRNGKey(33), b=1, h=1, l=256)
+    w = jax.random.normal(jax.random.PRNGKey(34), q.shape, jnp.float32)
+
+    def loss(q):
+        return jnp.sum(
+            flash_attention(
+                q, k, v, dropout_rate=0.3, dropout_seed=17, interpret=True
+            ) * w
+        )
+
+    g = jax.grad(loss)(q)
+    rng = np.random.default_rng(2)
+    direction = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (float(loss(q + eps * direction)) - float(loss(q - eps * direction))) / (
+        2 * eps
+    )
+    analytic = float(jnp.sum(g * direction))
+    assert fd == pytest.approx(analytic, rel=5e-3, abs=1e-2)
+
+
+def test_blocked_path_matches_whole_k_path_with_dropout(monkeypatch):
+    """Both kernel families hash dropout from GLOBAL (row, col) element
+    indices, and masking commutes with normalisation — at the same (L,
+    seed) the two paths must agree to float tolerance, outputs AND
+    gradients."""
+    l = 256
+    q, k, v = _qkv(jax.random.PRNGKey(35), b=1, h=2, l=l)
+    w = jax.random.normal(jax.random.PRNGKey(36), q.shape, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(
+                q, k, v, dropout_rate=0.25, dropout_seed=7, interpret=True
+            ) * w
+        )
+
+    whole_out = flash_attention(
+        q, k, v, dropout_rate=0.25, dropout_seed=7, interpret=True
+    )
+    whole_g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.setattr(fa_mod, "WHOLE_KV_LIMIT", 128)
+    monkeypatch.setattr(fa_mod, "BLOCKED_Q", 64)
+    monkeypatch.setattr(fa_mod, "BLOCKED_KV", 128)
+    blocked_out = flash_attention(
+        q, k, v, dropout_rate=0.25, dropout_seed=7, interpret=True
+    )
+    blocked_g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    np.testing.assert_allclose(
+        np.asarray(whole_out), np.asarray(blocked_out), atol=1e-5
+    )
+    for name, a, b in zip("qkv", whole_g, blocked_g):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{name}"
+        )
+
+
+@pytest.mark.slow
+def test_blocked_real_dispatch_past_old_cap():
+    """L=4608 (> WHOLE_KV_LIMIT) through the REAL dispatch thresholds: the
+    old 4096 cap is genuinely lifted, not just at toy block sizes."""
+    q, k, v = _qkv(jax.random.PRNGKey(37), b=1, h=1, l=4608)
+    got = flash_attention(q, k, v, interpret=True)
+    want = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_train_step_8192_frames():
+    """A full optimizer step at 8192 encoder frames (~82 s of audio for the
+    tiny conv stack) — the shape where the whole-K design refused to train
+    and the XLA fallback needs a 76 GB dropout mask.  Forces the flash
+    path (interpret on CPU, compiled on a real TPU) and checks the loss is
+    finite and the step completes."""
+    import functools as ft
+
+    from gsoc_wav2vec2_tpu import Wav2Vec2Config
+    from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
+    from gsoc_wav2vec2_tpu.training import (
+        TrainState, create_optimizer, make_train_step,
+    )
+
+    config = Wav2Vec2Config(
+        hidden_size=64, num_heads=1, num_layers=1, intermediate_size=128,
+        filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],
+    )
+    audio_len = 81930  # -> exactly 8192 frames through the [5,2] stack
+    assert int(config.conv_output_length(audio_len)) == 8192
+    assert supports(8192, 64, training=True)
+
+    params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
+    tx = create_optimizer(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=jax.jit(tx.init)(params),
+    )
+    step = make_train_step(
+        config, tx, division_factor=1, with_attention_mask=False,
+        compute_dtype=jnp.float32, remat=True, attention_impl="flash",
+    )
+    batch = {
+        "speech": jax.random.normal(
+            jax.random.PRNGKey(1), (1, audio_len), jnp.float32
+        ),
+        "labels": jnp.asarray([[5, 6, 7, 8]], jnp.int32),
+    }
+
+    orig = fa_mod.flash_attention
+    calls = []
+
+    def spy(*args, **kwargs):
+        calls.append(args[0].shape)
+        if jax.default_backend() != "tpu":
+            kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    fa_mod.flash_attention = spy
+    try:
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        loss = float(metrics["loss"])
+    finally:
+        fa_mod.flash_attention = orig
+    assert np.isfinite(loss), loss
+    assert int(state.step) == 1
+    assert calls and all(s[2] == 8192 for s in calls), calls
