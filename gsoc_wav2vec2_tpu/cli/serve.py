@@ -565,7 +565,14 @@ def make_handler(
 
 
 def main() -> None:
-    parser = argparse.ArgumentParser("wav2vec2 transcription server")
+    parser = argparse.ArgumentParser(
+        "wav2vec2 transcription server",
+        epilog="Requests run at bucketed compiled shapes; for BASE-family "
+        "models (GroupNorm conv stack, no attention mask) that padding can "
+        "move near-tie decode/alignment boundaries by one frame vs an "
+        "unpadded offline decode — robust/XLSR models are padding-"
+        "invariant. See docs/MIGRATING.md, 'Padding semantics'.",
+    )
     parser.add_argument("--model_dir", required=True, type=str)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8057)
