@@ -589,3 +589,50 @@ def test_train_step_8192_frames():
     assert np.isfinite(loss), loss
     assert int(state.step) == 1
     assert calls and all(s[2] == 8192 for s in calls), calls
+
+
+@needs_mesh
+def test_shard_mapped_blocked_kernels_match_reference(monkeypatch):
+    """The kv-blocked kernel family composes with the shard_map wrapper the
+    same way the whole-K family does: per-shard instances over a 4x2 mesh,
+    forward AND gradients equal to the single-device einsum reference."""
+    from gsoc_wav2vec2_tpu.ops.pallas.flash_attention import (
+        shard_mapped_flash_attention,
+    )
+
+    monkeypatch.setattr(fa_mod, "WHOLE_KV_LIMIT", 64)
+    monkeypatch.setattr(fa_mod, "BLOCKED_Q", 64)
+    monkeypatch.setattr(fa_mod, "BLOCKED_KV", 128)
+    mesh = _mesh_4x2()
+    q, k, v = _qkv(jax.random.PRNGKey(40), b=4, h=2, l=256)
+    mask = np.ones((4, 256), np.float32)
+    mask[:, 200:] = 0.0
+    bias = mask_to_bias(jnp.asarray(mask))
+    w = jax.random.normal(jax.random.PRNGKey(41), q.shape, jnp.float32)
+    valid = jnp.asarray(mask)[:, None, :, None]
+
+    def loss_sharded(q, k, v):
+        out = shard_mapped_flash_attention(
+            q, k, v, bias, mesh=mesh, data_axis="data", model_axis="model",
+            interpret=True,
+        )
+        return jnp.sum(out * w * valid)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, bias) * w * valid)
+
+    got_out = shard_mapped_flash_attention(
+        q, k, v, bias, mesh=mesh, data_axis="data", model_axis="model",
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_out)[:, :, :200],
+        np.asarray(_reference(q, k, v, bias))[:, :, :200],
+        atol=1e-4,
+    )
+    got = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, t, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(t), atol=1e-3, err_msg=f"d{name}"
+        )
