@@ -420,6 +420,16 @@ def small_blocked(monkeypatch):
     monkeypatch.setattr(fa_mod, "BLOCKED_KV", 128)
 
 
+needs_cpu_f32 = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="finite differences / 1e-4 tolerances need exact CPU f32 math "
+    "(TPU f32 dots are bf16x3); "
+    "test_blocked_compiled_matches_whole_k_compiled covers the compiled "
+    "TPU kernels",
+)
+
+
+@needs_cpu_f32
 def test_blocked_fwd_matches_reference_masked(small_blocked):
     q, k, v = _qkv(jax.random.PRNGKey(30), b=2, h=2, l=384)
     mask = np.ones((2, 384), np.float32)
@@ -435,6 +445,7 @@ def test_blocked_fwd_matches_reference_masked(small_blocked):
     )
 
 
+@needs_cpu_f32
 def test_blocked_grad_matches_reference(small_blocked):
     q, k, v = _qkv(jax.random.PRNGKey(31), b=1, h=2, l=384)
     mask = np.ones((1, 384), np.float32)
@@ -457,6 +468,7 @@ def test_blocked_grad_matches_reference(small_blocked):
         )
 
 
+@needs_cpu_f32
 def test_blocked_dropout_grad_finite_differences(small_blocked):
     """The three blocked kernels regenerate the dropout mask independently
     (fwd online-softmax, dq pass, dk/dv pass) — any misalignment of the
@@ -483,6 +495,7 @@ def test_blocked_dropout_grad_finite_differences(small_blocked):
     assert fd == pytest.approx(analytic, rel=5e-3, abs=1e-2)
 
 
+@needs_cpu_f32
 def test_blocked_path_matches_whole_k_path_with_dropout(monkeypatch):
     """Both kernel families hash dropout from GLOBAL (row, col) element
     indices, and masking commutes with normalisation — at the same (L,
@@ -518,6 +531,53 @@ def test_blocked_path_matches_whole_k_path_with_dropout(monkeypatch):
     for name, a, b in zip("qkv", whole_g, blocked_g):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"d{name}"
+        )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs the compiled TPU kernels"
+)
+def test_blocked_compiled_matches_whole_k_compiled(monkeypatch):
+    """Compiled-mode parity on the real chip: the kv-blocked family must
+    reproduce the whole-K family's outputs AND gradients at the same
+    (L, seed) — both run at identical TPU dot precision, so agreement is
+    tight even where CPU-vs-TPU comparisons are not.  This is the hardware
+    analog of `test_blocked_path_matches_whole_k_path_with_dropout` (which
+    needs exact CPU f32 math)."""
+    l = 512
+    q, k, v = _qkv(jax.random.PRNGKey(50), b=1, h=2, l=l)
+    mask = np.ones((1, l), np.float32)
+    mask[0, 400:] = 0.0
+    bias = mask_to_bias(jnp.asarray(mask))
+    w = jax.random.normal(jax.random.PRNGKey(51), q.shape, jnp.float32)
+    valid = jnp.asarray(mask)[:, None, :, None]
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, bias, dropout_rate=0.25, dropout_seed=9)
+            * w * valid
+        )
+
+    whole_out = flash_attention(
+        q, k, v, bias, dropout_rate=0.25, dropout_seed=9
+    )
+    whole_g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.setattr(fa_mod, "WHOLE_KV_LIMIT", 128)
+    monkeypatch.setattr(fa_mod, "BLOCKED_Q", 128)
+    monkeypatch.setattr(fa_mod, "BLOCKED_KV", 256)
+    blocked_out = flash_attention(
+        q, k, v, bias, dropout_rate=0.25, dropout_seed=9
+    )
+    blocked_g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    np.testing.assert_allclose(
+        np.asarray(whole_out * valid), np.asarray(blocked_out * valid),
+        atol=2e-3,
+    )
+    for name, a, b in zip("qkv", whole_g, blocked_g):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, err_msg=f"d{name}"
         )
 
 
