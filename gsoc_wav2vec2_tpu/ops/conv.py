@@ -112,9 +112,17 @@ def pos_conv_embed(
             TAP_BLOCK,
             pos_conv_fused,
             pos_conv_fused_train,
+            supports_length,
         )
 
-        if kernel_size % TAP_BLOCK == 0 and x.shape[-1] % groups == 0:
+        if (
+            kernel_size % TAP_BLOCK == 0
+            and x.shape[-1] % groups == 0
+            # the im2col window lives whole in VMEM per (batch, group) —
+            # long sequences (kv-blocked attention territory) overflow
+            # scoped VMEM and keep the XLA grouped conv instead
+            and supports_length(x.shape[1])
+        ):
             gelu_approx = is_gelu_approx or x.dtype == jnp.bfloat16
             if not training:
                 return pos_conv_fused(

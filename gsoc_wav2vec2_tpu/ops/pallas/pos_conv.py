@@ -40,6 +40,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 TAP_BLOCK = 16  # taps folded per partial matmul
 
+# The window super-block is assembled whole per (batch, group) grid step, so
+# scoped VMEM scales linearly with T: ~5 KB/row at CG=48 (16 f32 roll tiles
+# + the concatenated (rows, TAP_BLOCK*CG) window + its bf16 cast).  The
+# 16 MB scoped-vmem ceiling lands at ~3100 rows (measured: T=8192 rejects
+# with a 41.86M allocation); 2048 output frames (rows <= 2176, ~11 MB)
+# keeps comfortable margin.  Past the cap `pos_conv_embed` falls back to
+# XLA's grouped conv — linear in T and dwarfed by O(L^2) attention at the
+# lengths that exceed it.
+MAX_T = 2048
+
+
+def supports_length(t: int) -> bool:
+    """Whether the fused kernels fit scoped VMEM at `t` output frames."""
+    return t <= MAX_T
+
 
 def _window(x_ref):
     """Assemble the (rows, TAP_BLOCK*CG) window super-block in VMEM.

@@ -124,3 +124,40 @@ def test_pos_conv_train_forward_matches_inference_kernel():
         kernel_size=128, groups=16, gelu_approx=True, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_long_sequence_falls_back_to_xla(monkeypatch):
+    """Past `pos_conv.MAX_T` the fused kernels overflow scoped VMEM
+    (measured on v5e: T=8192 requests a 41.86M allocation against the 16M
+    ceiling), so `pos_conv_embed` must keep the XLA grouped conv there —
+    in BOTH inference and training — even when every other fused-path
+    condition holds."""
+    import gsoc_wav2vec2_tpu.ops.conv as conv_mod
+    import gsoc_wav2vec2_tpu.ops.pallas.pos_conv as pc
+
+    assert pc.supports_length(pc.MAX_T)
+    assert not pc.supports_length(pc.MAX_T + 1)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def boom(*a, **k):
+        raise AssertionError("fused pos-conv dispatched past MAX_T")
+
+    monkeypatch.setattr(pc, "pos_conv_fused", boom)
+    monkeypatch.setattr(pc, "pos_conv_fused_train", boom)
+
+    t = pc.MAX_T + 64
+    g, k = 16, 128
+    x, params = _setup(t, c=64, g=g, k=k)
+    xb = x.astype(jnp.bfloat16)
+    out = conv_mod.pos_conv_embed(xb, params, k, g, training=False)
+    assert out.shape == (2, t, 64)
+    out_train = conv_mod.pos_conv_embed(xb, params, k, g, training=True)
+    assert out_train.shape == (2, t, 64)
+
+    # and AT the cap the fused path still dispatches (sentinel fires)
+    x2, params2 = _setup(pc.MAX_T, c=64, g=g, k=k)
+    with pytest.raises(AssertionError, match="dispatched past MAX_T"):
+        conv_mod.pos_conv_embed(
+            x2.astype(jnp.bfloat16), params2, k, g, training=False
+        )
