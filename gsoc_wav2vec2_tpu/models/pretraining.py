@@ -283,6 +283,7 @@ def pretraining_loss(
     sampled_negative_indices: jax.Array,
     config: Wav2Vec2PretrainingConfig,
     code_ids: Optional[jax.Array] = None,
+    pallas_scatter: Optional[bool] = None,
 ) -> dict:
     """Contrastive + diversity objective (paper eq. 3-4; HF steps 3-8).
 
@@ -306,46 +307,86 @@ def pretraining_loss(
     value test miss some same-codeword pairs — the id test applies the
     intended semantics.  Without `code_ids` the equality falls back to
     gathered-vector comparison (HF-exact in both modes).
+
+    `pallas_scatter` (default: auto — single-device TPU only) routes the
+    negatives-gather VJP through `ops/pallas/scatter_add.py`: XLA lowers
+    the 614k-row duplicate-index scatter-add serially (measured
+    7.3 ms/step, the largest loss-side op), the kernel computes it as
+    one-hot MXU matmuls.  Multi-device meshes keep the XLA scatter (GSPMD
+    cannot partition the custom call).
     """
     b, l, d = projected_quantized.shape
     k = sampled_negative_indices.shape[-1]
     pred = projected_states.astype(jnp.float32)
     q = projected_quantized.astype(jnp.float32)
     flat_idx = sampled_negative_indices.reshape(-1)
-    negatives = (
-        q.reshape(b * l, d)[flat_idx].reshape(b, l, k, d).transpose(2, 0, 1, 3)
-    )  # (K, B, L, D)
+
+    from ..ops.pallas import scatter_add as _sa
+
+    if pallas_scatter is None:
+        pallas_scatter = (
+            jax.default_backend() == "tpu" and _sa.supports(l, d)
+        )
+
+    @jax.custom_vjp
+    def _gather_rows(q2d):
+        return q2d[flat_idx]
+
+    def _gather_fwd(q2d):
+        return q2d[flat_idx], ()
+
+    def _gather_bwd(_, dneg):
+        if pallas_scatter:
+            local = sampled_negative_indices - (jnp.arange(b) * l)[
+                :, None, None
+            ]
+            dq = _sa.scatter_rows_add(
+                dneg.reshape(b, l * k, d), local.reshape(b, l * k), l_rows=l
+            )
+            return (dq.reshape(b * l, d).astype(dneg.dtype),)
+        return (jnp.zeros((b * l, d), dneg.dtype).at[flat_idx].add(dneg),)
+
+    _gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+    # (B, L, K, D) — the row gather's NATIVE layout.  HF transposes to
+    # (K, B, L, D); that transpose materialises a second 629 MB copy of the
+    # tensor (measured 2.0 ms/step on v5e) for zero semantic effect, so the
+    # K axis stays minor here and the reductions below run over it.
+    negatives = _gather_rows(q.reshape(b * l, d)).reshape(b, l, k, d)
 
     # torch.cosine_similarity clamps each norm at eps=1e-8
     pred_norm = jnp.maximum(jnp.linalg.norm(pred, axis=-1), 1e-8)  # (B, L)
     q_norm = jnp.maximum(jnp.linalg.norm(q, axis=-1), 1e-8)  # (B, L)
+    # NOTE: the negatives are rows of q, so their norms are rows of q_norm —
+    # but gathering the norm TABLE instead of re-reducing the (B, L, K, D)
+    # tensor is a measured LOSS (89.8 -> 97.9 ms full step on v5e): 614k
+    # scalar gathers + their scatter VJP cost more than the vector-fused
+    # norm reduction they save (see COMPONENTS.md gather hierarchy).
     neg_norm = jnp.maximum(jnp.linalg.norm(negatives, axis=-1), 1e-8)
     inv_temp = 1.0 / config.contrastive_logits_temperature
     logit_pos = (
         jnp.sum(pred * q, axis=-1) / (pred_norm * q_norm)
     ) * inv_temp  # (B, L)
     logit_neg = (
-        jnp.sum(pred[None] * negatives, axis=-1)
-        / (pred_norm[None] * neg_norm)
-    ) * inv_temp  # (K, B, L)
+        jnp.sum(pred[:, :, None, :] * negatives, axis=-1)
+        / (pred_norm[:, :, None] * neg_norm)
+    ) * inv_temp  # (B, L, K)
 
     # distractors that ARE the target cannot count as negatives
     if code_ids is not None:
         g = code_ids.shape[-1]
-        ids_neg = (
-            code_ids.reshape(b * l, g)[flat_idx]
-            .reshape(b, l, k, g)
-            .transpose(2, 0, 1, 3)
-        )  # (K, B, L, G)
-        neg_is_pos = jnp.all(ids_neg == code_ids[None], axis=-1)  # (K, B, L)
+        ids_neg = code_ids.reshape(b * l, g)[flat_idx].reshape(b, l, k, g)
+        neg_is_pos = jnp.all(
+            ids_neg == code_ids[:, :, None, :], axis=-1
+        )  # (B, L, K)
     else:
-        neg_is_pos = jnp.all(q[None] == negatives, axis=-1)
+        neg_is_pos = jnp.all(q[:, :, None, :] == negatives, axis=-1)
     logit_neg = jnp.where(neg_is_pos, -jnp.inf, logit_neg)
 
     mask = mask_time_indices.astype(jnp.float32)  # (B, L)
     # logsumexp over {positive} ∪ negatives; all-(-inf) negative rows are
     # fine (logaddexp(-inf, x) == x -> zero contribution)
-    log_z = jnp.logaddexp(jax.nn.logsumexp(logit_neg, axis=0), logit_pos)
+    log_z = jnp.logaddexp(jax.nn.logsumexp(logit_neg, axis=-1), logit_pos)
     contrastive = jnp.sum((log_z - logit_pos) * mask)
 
     gv = float(config.num_codevectors)
@@ -403,6 +444,9 @@ def _make_pretrain_loss_fn(
         parts = pretraining_loss(
             states, quantized, perplexity, mti, negs, config,
             code_ids=code_ids,
+            # GSPMD cannot partition the scatter kernel's custom call —
+            # multi-device meshes keep the XLA scatter path
+            pallas_scatter=None if mesh is None or mesh.size == 1 else False,
         )
         return parts["loss"] / division_factor, parts
 

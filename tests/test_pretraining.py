@@ -610,3 +610,79 @@ def test_pretrain_step_learns_and_temperature_is_traced():
     assert np.isfinite(first) and np.isfinite(last)
     assert last < first * 0.9, (first, last)
     assert step._cache_size() == 1, "temperature change recompiled the step"
+
+
+def test_scatter_rows_add_matches_xla_scatter():
+    """The one-hot-matmul scatter kernel (`ops/pallas/scatter_add.py`) must
+    equal XLA's scatter-add exactly for 0/1 selection x bf16-rounded
+    addends — duplicate indices, non-CHUNK-multiple N, and all-same-index
+    rows included."""
+    import numpy as np
+
+    from gsoc_wav2vec2_tpu.ops.pallas.scatter_add import (
+        scatter_rows_add,
+        supports,
+    )
+
+    assert supports(768, 256)
+    rng = np.random.default_rng(0)
+    b, n, d, l = 3, 1000, 128, 64  # N deliberately not a CHUNK multiple
+    dneg = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, l, size=(b, n)).astype(np.int32))
+    idx = idx.at[1].set(7)  # one row scatters everything onto index 7
+
+    got = scatter_rows_add(dneg, idx, l_rows=l, interpret=True)
+
+    # reference: XLA scatter-add of the bf16-rounded addends (the kernel's
+    # dot rounds each addend to bf16 before f32 accumulation)
+    dneg_r = dneg.astype(jnp.bfloat16).astype(jnp.float32)
+    want = jnp.zeros((b, l, d), jnp.float32)
+    for bi in range(b):
+        want = want.at[bi].add(
+            jnp.zeros((l, d), jnp.float32).at[idx[bi]].add(dneg_r[bi])
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_pretraining_loss_pallas_scatter_grad_matches_xla():
+    """`pretraining_loss(pallas_scatter=True)` (interpret kernel) and the
+    XLA scatter path must give the same loss AND the same gradients w.r.t.
+    the projected tensors (bf16-addend rounding tolerance)."""
+    import numpy as np
+
+    from gsoc_wav2vec2_tpu.models.pretraining import (
+        pretraining_loss,
+        sample_negative_indices,
+    )
+
+    config = tiny_pretraining_config()
+    b, l, d = 2, 24, config.proj_codevector_dim
+    rng = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    states = jax.random.normal(k1, (b, l, d), jnp.float32)
+    quantized = jax.random.normal(k2, (b, l, d), jnp.float32)
+    mti = jax.random.bernoulli(k3, 0.5, (b, l))
+    negs = sample_negative_indices(k4, mti, config.num_negatives)
+    perp = jnp.float32(5.0)
+
+    def loss(states, quantized, pallas):
+        # scatter_rows_add auto-interprets on the CPU backend
+        parts = pretraining_loss(
+            states, quantized, perp, mti, negs, config,
+            pallas_scatter=pallas,
+        )
+        return parts["loss"]
+
+    lx = float(loss(states, quantized, False))
+    lp = float(loss(states, quantized, True))
+    assert lx == lp  # forward identical (same gather)
+
+    gx = jax.grad(loss, argnums=(0, 1))(states, quantized, False)
+    gp = jax.grad(loss, argnums=(0, 1))(states, quantized, True)
+    for a, w, name in zip(gp, gx, ("states", "quantized")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=2e-2, atol=2e-3,
+            err_msg=name,
+        )
