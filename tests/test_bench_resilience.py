@@ -62,7 +62,13 @@ def test_main_exits_nonzero_when_backend_never_answers(bench, monkeypatch):
 
 
 def _stub_sections(bench, monkeypatch, rtf=1000.0):
-    """Stub every measured surface so main() exercises only the pipeline."""
+    """Stub every measured surface so main() exercises only the pipeline.
+
+    The flagship tail (robust + pretrain) runs in a CHILD process
+    (`_run_tail_subprocess`); its `subprocess.run` is faked with tagged
+    stdout lines so the real merge code runs without spawning anything."""
+    import subprocess as _sp
+
     import gsoc_wav2vec2_tpu.models.modeling as modeling
 
     monkeypatch.setattr(bench, "_wait_for_backend", lambda: True)
@@ -73,8 +79,26 @@ def _stub_sections(bench, monkeypatch, rtf=1000.0):
     monkeypatch.setattr(bench, "_bench_export", lambda c, p: (4.0, 5.0))
     monkeypatch.setattr(bench, "_bench_train_step", lambda c, p: (240.0, p))
     monkeypatch.setattr(bench, "_bench_grad_accum", lambda c, p: (1900.0, p))
-    monkeypatch.setattr(bench, "_bench_robust", lambda: (2700.0, 170.0))
-    monkeypatch.setattr(bench, "_bench_pretrain_step", lambda robust=False: 90.0)
+
+    def fake_run(cmd, **kw):
+        assert "--section" in cmd and "tail" in cmd
+        out = "\n".join(
+            bench.SECTION_TAG + json.dumps(d)
+            for d in [
+                {
+                    "robust_rtf_b8": 2700.0,
+                    "robust_train_ms_per_step_b8_246k_remat": 170.0,
+                },
+                {
+                    "pretrain_ms_per_step_b8_246k_remat": 90.0,
+                    "pretrain_mfu": 0.334,
+                },
+                {"pretrain_robust_ms_per_step_b8_246k_remat": 229.0},
+            ]
+        )
+        return _sp.CompletedProcess(cmd, 0, stdout=out, stderr="")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
 
 
 def test_main_prints_headline_first_then_full_record(bench, monkeypatch):
@@ -98,6 +122,59 @@ def test_main_prints_headline_first_then_full_record(bench, monkeypatch):
     assert e["pretrain_mfu"] > 0
     assert e["robust_rtf_b8"] == 2700.0
     assert "bench_wall_s" in e
+
+
+def test_tail_sections_emit_incrementally_and_survive_crashes(bench, monkeypatch):
+    """Each tail measurement prints its own tagged line the moment it
+    lands, and a crash in one section cannot forfeit the others."""
+    monkeypatch.setattr(bench, "_bench_robust", lambda: (2700.0, 170.0))
+
+    def boom(robust=False):
+        if robust:
+            raise RuntimeError("robust pretrain died")
+        return 90.0
+
+    monkeypatch.setattr(bench, "_bench_pretrain_step", boom)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench._tail_sections()
+    merged = {}
+    for line in buf.getvalue().splitlines():
+        assert line.startswith(bench.SECTION_TAG)
+        merged.update(json.loads(line[len(bench.SECTION_TAG):]))
+    assert merged["robust_rtf_b8"] == 2700.0
+    assert merged["pretrain_ms_per_step_b8_246k_remat"] == 90.0
+    assert merged["pretrain_mfu"] > 0
+    assert "robust pretrain died" in merged["pretrain_robust_error"]
+
+
+def test_tail_subprocess_timeout_keeps_partial_lines(bench, monkeypatch):
+    """A child that hangs after printing some results loses only the
+    unfinished sections."""
+    import subprocess as _sp
+
+    partial = bench.SECTION_TAG + json.dumps({"robust_rtf_b8": 2650.0})
+
+    def fake_run(cmd, timeout=None, **kw):
+        raise _sp.TimeoutExpired(cmd, timeout, output=partial.encode())
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    extra = {}
+    bench._run_tail_subprocess(extra, timeout_s=5.0)
+    assert extra["robust_rtf_b8"] == 2650.0
+    assert "timeout" in extra["tail_error"]
+
+
+def test_tail_subprocess_records_child_failure_rc(bench, monkeypatch):
+    import subprocess as _sp
+
+    def fake_run(cmd, **kw):
+        return _sp.CompletedProcess(cmd, 1, stdout="", stderr="")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    extra = {}
+    bench._run_tail_subprocess(extra, timeout_s=5.0)
+    assert extra["tail_rc"] == 1
 
 
 def test_main_headline_survives_secondary_hang_analog(bench, monkeypatch):
@@ -125,7 +202,7 @@ def test_main_budget_skips_late_sections(bench, monkeypatch):
     with redirect_stdout(buf):
         assert bench.main() == 0
     e = json.loads(buf.getvalue().splitlines()[-1])["extra"]
-    for section in ("train", "accum", "robust", "pretrain"):
+    for section in ("train", "accum", "tail"):
         assert "time budget" in e[f"{section}_skipped"]
     assert "train_ms_per_step_b32_246k_remat" not in e
 
