@@ -284,6 +284,7 @@ def pretraining_loss(
     config: Wav2Vec2PretrainingConfig,
     code_ids: Optional[jax.Array] = None,
     pallas_scatter: Optional[bool] = None,
+    mesh=None,
 ) -> dict:
     """Contrastive + diversity objective (paper eq. 3-4; HF steps 3-8).
 
@@ -308,12 +309,16 @@ def pretraining_loss(
     intended semantics.  Without `code_ids` the equality falls back to
     gathered-vector comparison (HF-exact in both modes).
 
-    `pallas_scatter` (default: auto — single-device TPU only) routes the
-    negatives-gather VJP through `ops/pallas/scatter_add.py`: XLA lowers
-    the 614k-row duplicate-index scatter-add serially (measured
-    7.3 ms/step, the largest loss-side op), the kernel computes it as
-    one-hot MXU matmuls.  Multi-device meshes keep the XLA scatter (GSPMD
-    cannot partition the custom call).
+    `pallas_scatter` (default: auto on TPU) routes the negatives-gather
+    VJP through `ops/pallas/scatter_add.py`: XLA lowers the 614k-row
+    duplicate-index scatter-add serially (measured 7.3 ms/step, the
+    largest loss-side op), the kernel computes it as one-hot MXU matmuls.
+    Under a multi-device `mesh` the kernel — an opaque custom call GSPMD
+    cannot partition — runs per-shard via `shard_map` over the "data"
+    axis (the scatter is independent per batch row: negatives are drawn
+    within the same utterance, so indices are row-local), exactly the
+    flash-attention/conv-frontend partitioning pattern.  Requires the
+    batch to divide the data axis; otherwise auto falls back to XLA.
     """
     b, l, d = projected_quantized.shape
     k = sampled_negative_indices.shape[-1]
@@ -322,11 +327,17 @@ def pretraining_loss(
     flat_idx = sampled_negative_indices.reshape(-1)
 
     from ..ops.pallas import scatter_add as _sa
+    from ..parallel.mesh import DATA_AXIS
 
+    multi_device = mesh is not None and mesh.size > 1
     if pallas_scatter is None:
         pallas_scatter = (
             jax.default_backend() == "tpu" and _sa.supports(l, d)
         )
+        if multi_device:
+            pallas_scatter = pallas_scatter and (
+                DATA_AXIS in mesh.shape and b % mesh.shape[DATA_AXIS] == 0
+            )
 
     @jax.custom_vjp
     def _gather_rows(q2d):
@@ -340,9 +351,21 @@ def pretraining_loss(
             local = sampled_negative_indices - (jnp.arange(b) * l)[
                 :, None, None
             ]
-            dq = _sa.scatter_rows_add(
-                dneg.reshape(b, l * k, d), local.reshape(b, l * k), l_rows=l
-            )
+
+            def _scatter(dneg3, loc2):
+                return _sa.scatter_rows_add(dneg3, loc2, l_rows=l)
+
+            if multi_device:
+                from jax.sharding import PartitionSpec as P
+
+                _scatter = jax.shard_map(
+                    _scatter,
+                    mesh=mesh,
+                    in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+            dq = _scatter(dneg.reshape(b, l * k, d), local.reshape(b, l * k))
             return (dq.reshape(b * l, d).astype(dneg.dtype),)
         return (jnp.zeros((b * l, d), dneg.dtype).at[flat_idx].add(dneg),)
 
@@ -444,9 +467,9 @@ def _make_pretrain_loss_fn(
         parts = pretraining_loss(
             states, quantized, perplexity, mti, negs, config,
             code_ids=code_ids,
-            # GSPMD cannot partition the scatter kernel's custom call —
-            # multi-device meshes keep the XLA scatter path
-            pallas_scatter=None if mesh is None or mesh.size == 1 else False,
+            # auto: Pallas scatter VJP on TPU; under a multi-device mesh
+            # it runs per-shard via shard_map over the data axis
+            mesh=mesh,
         )
         return parts["loss"] / division_factor, parts
 

@@ -686,3 +686,59 @@ def test_pretraining_loss_pallas_scatter_grad_matches_xla():
             np.asarray(a), np.asarray(w), rtol=2e-2, atol=2e-3,
             err_msg=name,
         )
+
+
+def test_pretraining_loss_pallas_scatter_mesh_matches_xla():
+    """Under a multi-device mesh the Pallas scatter VJP runs per-shard via
+    `shard_map` over the data axis (the scatter is independent per batch
+    row).  The mesh path must (a) be bit-close to the single-device Pallas
+    path and (b) match the XLA scatter at bf16-addend rounding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gsoc_wav2vec2_tpu.parallel import make_mesh
+
+    config = tiny_pretraining_config()
+    b, l, d = 4, 24, config.proj_codevector_dim
+    rng = jax.random.PRNGKey(5)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    states = jax.random.normal(k1, (b, l, d), jnp.float32)
+    quantized = jax.random.normal(k2, (b, l, d), jnp.float32)
+    mti = jax.random.bernoulli(k3, 0.5, (b, l))
+    negs = sample_negative_indices(k4, mti, config.num_negatives)
+    perp = jnp.float32(5.0)
+    mesh = make_mesh(model=2)  # 4x2 over the 8 virtual CPU devices
+
+    def loss(states, quantized, pallas, mesh=None):
+        # scatter_rows_add auto-interprets on the CPU backend
+        parts = pretraining_loss(
+            states, quantized, perp, mti, negs, config,
+            pallas_scatter=pallas, mesh=mesh,
+        )
+        return parts["loss"]
+
+    sh = NamedSharding(mesh, P("data"))
+    states_s = jax.device_put(states, sh)
+    quantized_s = jax.device_put(quantized, sh)
+
+    # forward is the same trace either way (the flag only swaps the VJP);
+    # compare at the SAME sharded layout (resharding reorders the batch
+    # reduction enough to move the last float bits)
+    lx_sharded = float(loss(states_s, quantized_s, False))
+    lm = float(loss(states_s, quantized_s, True, mesh))
+    assert lx_sharded == lm
+
+    gx = jax.grad(loss, argnums=(0, 1))(states, quantized, False)
+    gp = jax.grad(loss, argnums=(0, 1))(states, quantized, True)
+    gm = jax.grad(loss, argnums=(0, 1))(states_s, quantized_s, True, mesh)
+    for a, w, name in zip(gm, gp, ("states", "quantized")):
+        # same kernel per batch row; only sharded-layout reduction
+        # reorder separates the paths
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=1e-5, atol=1e-6,
+            err_msg=f"mesh-vs-single pallas: {name}",
+        )
+    for a, w, name in zip(gm, gx, ("states", "quantized")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=2e-2, atol=2e-3,
+            err_msg=f"mesh pallas vs xla: {name}",
+        )
