@@ -318,7 +318,8 @@ def pretraining_loss(
     axis (the scatter is independent per batch row: negatives are drawn
     within the same utterance, so indices are row-local), exactly the
     flash-attention/conv-frontend partitioning pattern.  Requires the
-    batch to divide the data axis; otherwise auto falls back to XLA.
+    data-axis size to divide the batch; otherwise auto falls back to
+    XLA, and an explicit ``pallas_scatter=True`` raises.
     """
     b, l, d = projected_quantized.shape
     k = sampled_negative_indices.shape[-1]
@@ -337,6 +338,20 @@ def pretraining_loss(
         if multi_device:
             pallas_scatter = pallas_scatter and (
                 DATA_AXIS in mesh.shape and b % mesh.shape[DATA_AXIS] == 0
+            )
+    elif pallas_scatter and multi_device:
+        # Explicit opt-in under a mesh: fail with a clear message instead of
+        # an opaque shard_map trace error inside the backward pass.
+        if DATA_AXIS not in mesh.shape:
+            raise ValueError(
+                "pallas_scatter=True under a multi-device mesh requires a "
+                f"'{DATA_AXIS}' mesh axis (got axes {tuple(mesh.shape)})"
+            )
+        if b % mesh.shape[DATA_AXIS] != 0:
+            raise ValueError(
+                "pallas_scatter=True under a multi-device mesh requires the "
+                f"'{DATA_AXIS}' axis size ({mesh.shape[DATA_AXIS]}) to "
+                f"divide the batch ({b})"
             )
 
     @jax.custom_vjp

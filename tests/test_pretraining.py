@@ -742,3 +742,43 @@ def test_pretraining_loss_pallas_scatter_mesh_matches_xla():
             np.asarray(a), np.asarray(w), rtol=2e-2, atol=2e-3,
             err_msg=f"mesh pallas vs xla: {name}",
         )
+
+
+def test_pretraining_loss_explicit_pallas_scatter_mesh_guards():
+    """An explicit `pallas_scatter=True` under a multi-device mesh whose
+    data axis does not divide the batch (or that lacks a data axis) must
+    raise a clear ValueError instead of an opaque shard_map trace error."""
+    import pytest
+    from jax.sharding import Mesh
+
+    from gsoc_wav2vec2_tpu.models.pretraining import (
+        pretraining_loss,
+        sample_negative_indices,
+    )
+    from gsoc_wav2vec2_tpu.parallel import make_mesh
+
+    config = tiny_pretraining_config()
+    b, l, d = 3, 24, config.proj_codevector_dim  # b=3 does not divide 4
+    rng = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    states = jax.random.normal(k1, (b, l, d), jnp.float32)
+    quantized = jax.random.normal(k2, (b, l, d), jnp.float32)
+    mti = jax.random.bernoulli(k3, 0.5, (b, l))
+    negs = sample_negative_indices(k4, mti, config.num_negatives)
+    perp = jnp.float32(5.0)
+
+    mesh = make_mesh(model=2)  # 4x2: data axis 4 does not divide b=3
+    with pytest.raises(ValueError, match="divide the batch"):
+        pretraining_loss(
+            states, quantized, perp, mti, negs, config,
+            pallas_scatter=True, mesh=mesh,
+        )
+
+    modelonly = Mesh(
+        np.asarray(jax.devices()[:2]).reshape(2), ("model",)
+    )  # no data axis at all
+    with pytest.raises(ValueError, match="mesh axis"):
+        pretraining_loss(
+            states, quantized, perp, mti, negs, config,
+            pallas_scatter=True, mesh=modelonly,
+        )
