@@ -23,8 +23,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -38,6 +41,11 @@ AUDIO_LEN = 246000  # 15.375 s at 16 kHz
 SAMPLE_RATE = 16000
 WARMUP = 3
 ITERS = 15
+# the ITERS iterations run as RTF_TRIALS independently-timed trials (each
+# with its own device->host readback) so the headline carries dispersion
+# stats and a regression check instead of a bare point estimate
+RTF_TRIALS = 5
+REGRESSION_PCT = 3.0  # headline drop vs the previous BENCH_r*.json that yells
 BASELINE_RTF = 3.125 / 0.84  # reference ONNX export, final_report.md:62-67
 
 TRAIN_BATCH = 32  # reference per-replica batch (`main.py:156`)
@@ -189,7 +197,37 @@ def _pretrain_step_flops(batch: int, audio_len: int, config=None) -> float:
     return 3.0 * (conv + proj + pos + enc + quant + heads + logits)
 
 
+def _forward_flops(config, batch: int, audio_len: int) -> float:
+    """Analytic model FLOPs per inference forward (matmul/conv MACs x2,
+    elementwise/norm ignored — the `_train_step_flops` convention without
+    the 3x backward factor)."""
+    t = audio_len
+    conv = 0
+    cin = 1
+    for f, k, s in zip(config.filter_sizes, config.kernal_sizes, config.strides):
+        t = (t - k) // s + 1
+        conv += 2 * batch * t * k * cin * f
+        cin = f
+    frames, h = t, config.hidden_size
+    proj = 2 * batch * frames * cin * h
+    pos = (
+        2 * batch * frames * config.num_conv_pos_embeddings
+        * (h // config.num_conv_pos_embedding_groups) * h
+    )
+    attn_proj = 4 * 2 * batch * frames * h * h
+    attn_sdp = 2 * 2 * batch * frames * frames * h
+    ffn = 2 * 2 * batch * frames * h * config.intermediate_size
+    enc = config.num_layers * (attn_proj + attn_sdp + ffn)
+    head = 2 * batch * frames * h * config.vocab_size
+    return conv + proj + pos + enc + head
+
+
 def _bench_inference(config, params):
+    """Headline RTF over `RTF_TRIALS` independently-timed trials.
+
+    Returns (median_rtf, stats_dict): the median is the headline (robust to
+    a one-off tunnel hiccup), the stats carry dispersion so round-over-round
+    movement can be told from noise (VERDICT r4 #6)."""
     from gsoc_wav2vec2_tpu.models.modeling import wav2vec2_for_ctc_forward
 
     speech = jax.random.normal(
@@ -209,14 +247,48 @@ def _bench_inference(config, params):
     for _ in range(WARMUP):
         float(fwd(params, speech))
 
-    start = time.perf_counter()
-    acc = None
-    for _ in range(ITERS):
-        acc = fwd(params, speech)
-    float(acc)  # device->host readback: forces the chain to complete
-    elapsed = time.perf_counter() - start
-    audio_seconds = ITERS * BATCH * AUDIO_LEN / SAMPLE_RATE
-    return audio_seconds / elapsed
+    iters_per_trial = max(1, ITERS // RTF_TRIALS)
+    audio_sec_per_trial = iters_per_trial * BATCH * AUDIO_LEN / SAMPLE_RATE
+    trials = []
+    for _ in range(RTF_TRIALS):
+        start = time.perf_counter()
+        acc = None
+        for _ in range(iters_per_trial):
+            acc = fwd(params, speech)
+        float(acc)  # device->host readback: forces the chain to complete
+        trials.append(audio_sec_per_trial / (time.perf_counter() - start))
+    median = statistics.median(trials)
+    fwd_ms = audio_sec_per_trial / median / iters_per_trial * 1000
+    stats = {
+        "rtf_trials": RTF_TRIALS,
+        "rtf_min": round(min(trials), 1),
+        "rtf_max": round(max(trials), 1),
+        "rtf_stdev": round(statistics.stdev(trials), 1),
+        "inference_mfu": round(
+            _forward_flops(config, BATCH, AUDIO_LEN)
+            / (fwd_ms / 1000) / PEAK_BF16_FLOPS,
+            3,
+        ),
+    }
+    return median, stats
+
+
+def _prev_bench(search_dir: str | None = None) -> tuple[int, float] | None:
+    """Headline value from the newest driver-recorded `BENCH_r*.json`."""
+    best = None
+    here = search_dir or os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                value = (json.load(f).get("parsed") or {}).get("value")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if value and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), float(value))
+    return best
 
 
 def _bench_train_step(config, params):
@@ -582,14 +654,34 @@ def main() -> int:
     params = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), config)
 
     start = time.monotonic()
-    rtf = _bench_inference(config, params)
+    rtf, rtf_stats = _bench_inference(config, params)
+    # regression tripwire: compare the median headline against the newest
+    # driver-recorded BENCH_r*.json so drift is distinguishable from noise
+    prev = _prev_bench()
+    if prev is not None:
+        prev_round, prev_rtf = prev
+        delta_pct = (rtf - prev_rtf) / prev_rtf * 100
+        rtf_stats[f"rtf_vs_r{prev_round:02d}_pct"] = round(delta_pct, 1)
+        if delta_pct < -REGRESSION_PCT:
+            rtf_stats["regression"] = True
+            print(
+                f"REGRESSION: headline RTF {rtf:.0f} is {-delta_pct:.1f}% "
+                f"below BENCH_r{prev_round:02d} ({prev_rtf:.0f}) — "
+                f"exceeds the {REGRESSION_PCT}% tripwire",
+                file=sys.stderr,
+                flush=True,
+            )
     # capture-first: the headline lands NOW; a hang in any secondary
     # section below can no longer forfeit the round's bench evidence
     # (round 3 lost all 8 measured surfaces to one late wedge)
-    print(_headline(rtf, {"partial": "secondary sections still running"}),
-          flush=True)
+    print(
+        _headline(
+            rtf, dict(rtf_stats, partial="secondary sections still running")
+        ),
+        flush=True,
+    )
 
-    extra = {}
+    extra = dict(rtf_stats)
 
     def over_budget(section: str) -> bool:
         if time.monotonic() - start > BENCH_BUDGET_S:

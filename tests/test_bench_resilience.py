@@ -75,7 +75,22 @@ def _stub_sections(bench, monkeypatch, rtf=1000.0):
     monkeypatch.setattr(
         modeling, "init_wav2vec2_for_ctc_params", lambda rng, cfg: {}
     )
-    monkeypatch.setattr(bench, "_bench_inference", lambda c, p: rtf)
+    monkeypatch.setattr(
+        bench,
+        "_bench_inference",
+        lambda c, p: (
+            rtf,
+            {
+                "rtf_trials": 5,
+                "rtf_min": rtf - 5.0,
+                "rtf_max": rtf + 5.0,
+                "rtf_stdev": 2.0,
+                "inference_mfu": 0.5,
+            },
+        ),
+    )
+    # tests control the regression comparison explicitly
+    monkeypatch.setattr(bench, "_prev_bench", lambda: None)
     monkeypatch.setattr(bench, "_bench_export", lambda c, p: (4.0, 5.0))
     monkeypatch.setattr(bench, "_bench_train_step", lambda c, p: (240.0, p))
     monkeypatch.setattr(bench, "_bench_grad_accum", lambda c, p: (1900.0, p))
@@ -205,6 +220,60 @@ def test_main_budget_skips_late_sections(bench, monkeypatch):
     for section in ("train", "accum", "tail"):
         assert "time budget" in e[f"{section}_skipped"]
     assert "train_ms_per_step_b32_246k_remat" not in e
+
+
+def test_main_regression_tripwire_fires(bench, monkeypatch, capsys):
+    """A headline >3% below the newest BENCH_r*.json must set the
+    `regression` flag, record the signed delta, and yell on stderr."""
+    _stub_sections(bench, monkeypatch, rtf=1000.0)
+    monkeypatch.setattr(bench, "_prev_bench", lambda: (4, 2000.0))
+    assert bench.main() == 0
+    out, err = capsys.readouterr()
+    last = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert last["extra"]["rtf_vs_r04_pct"] == -50.0
+    assert last["extra"]["regression"] is True
+    assert "REGRESSION" in err
+
+
+def test_main_regression_tripwire_quiet_within_noise(bench, monkeypatch, capsys):
+    """A drop inside the tripwire records the delta but does not flag."""
+    _stub_sections(bench, monkeypatch, rtf=1000.0)
+    monkeypatch.setattr(bench, "_prev_bench", lambda: (4, 1010.0))
+    assert bench.main() == 0
+    out, err = capsys.readouterr()
+    last = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert last["extra"]["rtf_vs_r04_pct"] == -1.0
+    assert "regression" not in last["extra"]
+    assert "REGRESSION" not in err
+
+
+def test_main_extras_carry_dispersion_and_inference_mfu(bench, monkeypatch):
+    """Both headline prints must carry the trial stats and inference_mfu."""
+    _stub_sections(bench, monkeypatch, rtf=1000.0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert bench.main() == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
+    for line in lines:
+        e = json.loads(line)["extra"]
+        assert e["rtf_trials"] == 5
+        assert e["rtf_min"] == 995.0
+        assert e["rtf_max"] == 1005.0
+        assert e["rtf_stdev"] == 2.0
+        assert e["inference_mfu"] == 0.5
+
+
+def test_prev_bench_reads_newest_parsed_value(bench, tmp_path):
+    """`_prev_bench` picks the highest round whose artifact parsed."""
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"value": 7087.0}})
+    )
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"value": 7014.17}})
+    )
+    (tmp_path / "BENCH_r05.json").write_text("{not json")  # unreadable
+    assert bench._prev_bench(str(tmp_path)) == (4, 7014.17)
+    assert bench._prev_bench(str(tmp_path / "empty-missing")) is None
 
 
 def test_pretrain_flops_model_is_sane(bench):
