@@ -555,6 +555,56 @@ def _bench_pretrain_step(robust: bool = False):
     return (time.perf_counter() - start) / TRAIN_ITERS * 1000
 
 
+SERVE_CLIENTS = 8
+SERVE_REQUESTS = 48
+
+
+def _bench_serve(config, params) -> dict:
+    """Serving-daemon load measurement (VERDICT r4 #3): spawn `cli.serve`
+    on this model, fire mixed-length concurrent clients, and report
+    p50/p99 latency, audio-sec/s, mean dynamic-batch occupancy, plus the
+    1-client baseline that quantifies the dynamic-batching win.  The
+    server is its own process (clean HBM arena); this process only runs
+    the HTTP clients."""
+    from gsoc_wav2vec2_tpu.cli.serve_bench import (
+        DEFAULT_LENGTHS,
+        make_payloads,
+        run_load,
+        start_server,
+    )
+    from gsoc_wav2vec2_tpu.models.modeling import Wav2Vec2ForCTC
+
+    out: dict = {}
+    with tempfile.TemporaryDirectory() as d:
+        model_dir = os.path.join(d, "model")
+        Wav2Vec2ForCTC(config, params=params).save_pretrained(model_dir)
+        proc, url = start_server(["--model_dir", model_dir, "--port", "0"])
+        try:
+            payloads = make_payloads(DEFAULT_LENGTHS, seed=0)
+            load = run_load(url, payloads, SERVE_CLIENTS, SERVE_REQUESTS)
+            out["serve_p50_ms"] = load.get("p50_ms")
+            out["serve_p99_ms"] = load.get("p99_ms")
+            out["serve_audio_sec_per_s"] = load.get("audio_sec_per_s")
+            out["serve_batch_occupancy"] = load.get("mean_batch_occupancy")
+            if load.get("errors"):
+                out["serve_errors"] = load["errors"]
+            base = run_load(
+                url, payloads, 1, SERVE_REQUESTS // 4, warmup=False
+            )
+            out["serve_batch1_audio_sec_per_s"] = base.get("audio_sec_per_s")
+            if base.get("audio_sec_per_s") and load.get("audio_sec_per_s"):
+                out["serve_batching_speedup"] = round(
+                    load["audio_sec_per_s"] / base["audio_sec_per_s"], 2
+                )
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+    return out
+
+
 SECTION_TAG = "W2V2_SECTION_RESULT "
 
 
@@ -716,6 +766,13 @@ def main() -> int:
             extra["train_ms_per_update_b256_accum8"] = round(accum_ms, 1)
     except Exception as e:
         extra["accum_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        if not over_budget("serve"):
+            # the serving daemon runs in its OWN process (clean arena);
+            # this process only drives HTTP clients against it
+            extra.update(_bench_serve(config, params))
+    except Exception as e:
+        extra["serve_error"] = f"{type(e).__name__}: {e}"[:200]
     if not over_budget("tail"):
         # clean-process isolation for the flagship-scale sections: measured
         # in-process here they read ~33% slow (see `_tail_sections`)

@@ -94,6 +94,18 @@ def _stub_sections(bench, monkeypatch, rtf=1000.0):
     monkeypatch.setattr(bench, "_bench_export", lambda c, p: (4.0, 5.0))
     monkeypatch.setattr(bench, "_bench_train_step", lambda c, p: (240.0, p))
     monkeypatch.setattr(bench, "_bench_grad_accum", lambda c, p: (1900.0, p))
+    monkeypatch.setattr(
+        bench,
+        "_bench_serve",
+        lambda c, p: {
+            "serve_p50_ms": 60.0,
+            "serve_p99_ms": 120.0,
+            "serve_audio_sec_per_s": 900.0,
+            "serve_batch_occupancy": 3.5,
+            "serve_batch1_audio_sec_per_s": 300.0,
+            "serve_batching_speedup": 3.0,
+        },
+    )
 
     def fake_run(cmd, **kw):
         assert "--section" in cmd and "tail" in cmd
@@ -136,6 +148,8 @@ def test_main_prints_headline_first_then_full_record(bench, monkeypatch):
     assert e["pretrain_ms_per_step_b8_246k_remat"] == 90.0
     assert e["pretrain_mfu"] > 0
     assert e["robust_rtf_b8"] == 2700.0
+    assert e["serve_p99_ms"] == 120.0
+    assert e["serve_batching_speedup"] == 3.0
     assert "bench_wall_s" in e
 
 
@@ -217,7 +231,7 @@ def test_main_budget_skips_late_sections(bench, monkeypatch):
     with redirect_stdout(buf):
         assert bench.main() == 0
     e = json.loads(buf.getvalue().splitlines()[-1])["extra"]
-    for section in ("train", "accum", "tail"):
+    for section in ("train", "accum", "serve", "tail"):
         assert "time budget" in e[f"{section}_skipped"]
     assert "train_ms_per_step_b32_246k_remat" not in e
 
