@@ -110,27 +110,33 @@ def pos_conv_embed(
     ):
         from .pallas.pos_conv import (
             TAP_BLOCK,
+            pos_conv_blocked,
             pos_conv_fused,
             pos_conv_fused_train,
             supports_length,
         )
 
-        if (
-            kernel_size % TAP_BLOCK == 0
-            and x.shape[-1] % groups == 0
-            # the im2col window lives whole in VMEM per (batch, group) —
-            # long sequences (kv-blocked attention territory) overflow
-            # scoped VMEM and keep the XLA grouped conv instead
-            and supports_length(x.shape[1])
-        ):
+        if kernel_size % TAP_BLOCK == 0 and x.shape[-1] % groups == 0:
             gelu_approx = is_gelu_approx or x.dtype == jnp.bfloat16
-            if not training:
+            if not supports_length(x.shape[1]):
+                # the im2col window lives whole in VMEM per (batch, group);
+                # past MAX_T the time-blocked driver runs the same kernel
+                # per tile with k/2-frame halos (bitwise-identical rows)
+                if training and params.get("bias") is None:
+                    pass  # biasless training path stays on XLA below
+                else:
+                    return pos_conv_blocked(
+                        x, kernel, params.get("bias"),
+                        kernel_size=kernel_size, groups=groups,
+                        gelu_approx=gelu_approx, training=training,
+                    )
+            elif not training:
                 return pos_conv_fused(
                     x, kernel, params.get("bias"),
                     kernel_size=kernel_size, groups=groups,
                     gelu_approx=gelu_approx,
                 )
-            if params.get("bias") is not None:
+            elif params.get("bias") is not None:
                 return pos_conv_fused_train(
                     x, kernel, params["bias"],
                     kernel_size=kernel_size, groups=groups,

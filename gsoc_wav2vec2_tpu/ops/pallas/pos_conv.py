@@ -56,6 +56,59 @@ def supports_length(t: int) -> bool:
     return t <= MAX_T
 
 
+# Time-blocked driver tile: each chunk spans <= BLOCK_T + K input frames
+# (= MAX_T at K=128), so every per-chunk kernel call stays inside the
+# measured VMEM envelope above regardless of total sequence length.
+BLOCK_T = MAX_T - 128
+
+
+def pos_conv_blocked(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias,
+    *,
+    kernel_size: int,
+    groups: int,
+    gelu_approx: bool = False,
+    interpret: bool = False,
+    training: bool = False,
+    block_t: int = BLOCK_T,
+) -> jax.Array:
+    """`pos_conv_fused(_train)` at ANY length via time tiles with halos.
+
+    Output rows [t0, t1) need input rows [t0 - K/2, t1 + K/2 - 1), so each
+    tile's kernel call receives `block_t` output frames plus a halo of
+    K/2 REAL neighbour frames on each side and the valid rows are cropped
+    out.  Interior rows see exactly the unblocked kernel's products in the
+    same tap-block accumulation order — outputs are bitwise identical to
+    the unblocked kernel; global sequence edges hit the per-chunk zero
+    padding, which is again exactly the unblocked (and XLA) semantics.
+
+    This lifts the `MAX_T` VMEM cap for the long-sequence training path
+    (VERDICT r4 #4: the 8192-frame optimizer step previously fell back to
+    XLA's skinny grouped conv).  Cost: the halo recompute, K/block_t ~ 7%
+    extra MACs.  Gradients compose exactly: each chunk runs the custom-VJP
+    kernel and the overlapping slice cotangents sum in XLA.
+    """
+    b, t, c = x.shape
+    k = kernel_size
+    h = k // 2
+    assert block_t % 64 == 0 and block_t + k <= MAX_T + 64
+    fn = pos_conv_fused_train if training else pos_conv_fused
+    outs = []
+    for t0 in range(0, t, block_t):
+        t1 = min(t0 + block_t, t)
+        lo = max(0, t0 - h)
+        hi = min(t, t1 + h)
+        out = fn(
+            x[:, lo:hi], kernel, bias,
+            kernel_size=k, groups=groups,
+            gelu_approx=gelu_approx, interpret=interpret,
+        )
+        outs.append(out[:, t0 - lo : t1 - lo])
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _window(x_ref):
     """Assemble the (rows, TAP_BLOCK*CG) window super-block in VMEM.
 
