@@ -141,6 +141,7 @@ def test_fit_from_librispeech_layout(tmp_path):
     assert lm.logp((15, 15), 8) > lm.logp((15, 15), 5)
 
 
+@pytest.mark.slow
 def test_evaluate_cli_beam_with_lm(tmp_path):
     """`cli.evaluate --beam_width --lm_fit_dir` end-to-end: fits the LM on
     the corpus transcripts, decodes with fusion, saves the LM JSON."""

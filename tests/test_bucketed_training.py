@@ -10,6 +10,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsoc_wav2vec2_tpu import Wav2Vec2Config
 from gsoc_wav2vec2_tpu.data.loaders import CommonDataLoader
@@ -78,6 +79,7 @@ def test_single_bucket_stream_identical_to_fixed_path():
             np.testing.assert_array_equal(a[key], b[key])
 
 
+@pytest.mark.slow
 def test_length_aware_step_matches_constant_length_on_unpadded_batch():
     """The bucketed mode's loss (masked + length-aware) must equal the
     reference-parity constant-length loss when there is no padding — the
@@ -114,6 +116,7 @@ def test_length_aware_step_matches_constant_length_on_unpadded_batch():
     assert np.isclose(losses["constant"], losses["bucketed"], rtol=1e-6), losses
 
 
+@pytest.mark.slow
 def test_train_cli_bucketed_end_to_end(tmp_path):
     """`cli.train --bucket_boundaries`: mixed-length corpus (including one
     utterance LONGER than audio_maxlen), two compiled shapes, finite loss,
@@ -202,6 +205,7 @@ def test_repad_batch_extends_audio_and_mask_only():
         loader.repad_batch(batch, 400)
 
 
+@pytest.mark.slow
 def test_repadded_batch_loss_equals_larger_bucket_assignment():
     """Consensus re-padding must be semantically a larger-bucket
     assignment: the length-aware train loss over a bucket-500 batch

@@ -217,6 +217,7 @@ def test_train_cli_ema_end_to_end(tmp_path):
     assert max(diffs) > 0, "EMA weights should differ from raw weights"
 
 
+@pytest.mark.slow
 def test_pretrain_step_updates_ema():
     """make_pretrain_step(ema_decay=...): the shadow follows the same
     d*e + (1-d)*params recursion as the CTC trainer's."""

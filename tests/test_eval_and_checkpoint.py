@@ -178,6 +178,7 @@ def test_checkpoint_restore_missing_raises(tmp_path, tiny_model):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_mesh_sharded_eval_matches_single_device(tiny_model):
     """Round-3 upgrade: WER evaluation sharded over the full 8-device mesh
     (data axis) must produce IDENTICAL hypotheses and WER to the
@@ -224,6 +225,7 @@ def test_mesh_sharded_eval_matches_single_device(tiny_model):
     )
 
 
+@pytest.mark.slow
 def test_evaluate_cli_reads_tfrecords(tmp_path):
     """`cli.evaluate --tfrecords` scores the same shards training consumes
     (round-3: the eval CLI previously only read raw corpora)."""
@@ -268,6 +270,7 @@ def test_evaluate_cli_reads_tfrecords(tmp_path):
     assert 0.0 <= report["wer"] <= 1.0
 
 
+@pytest.mark.slow
 def test_evaluate_cli_sharded_matches_unsharded(tmp_path):
     """`cli.evaluate --sharded` (data-parallel mesh over all 8 virtual
     devices) must report the same WER as the default single-device run."""

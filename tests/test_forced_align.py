@@ -227,6 +227,7 @@ def test_align_segments_pad_to_is_invisible_with_mask(tiny_robust):
     assert padded == plain
 
 
+@pytest.mark.slow
 def test_align_cli(tmp_path):
     """`cli.align` with --transcript and with a sibling TIMIT-style .TXT;
     an over-long transcript exits nonzero with a JSON error line."""

@@ -83,6 +83,7 @@ def test_transcribe_long_boundary_consistency(tiny):
     assert chunked == whole
 
 
+@pytest.mark.slow
 def test_transcribe_cli_end_to_end(tmp_path):
     """`cli.transcribe` subprocess: FLAC in, JSON transcription out —
     including the long-form chunked path (--chunk_samples below the clip

@@ -15,6 +15,11 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
+# slow tier: real two-process jax.distributed clusters
+pytestmark = pytest.mark.slow
+
 _WORKER = textwrap.dedent(
     """
     import os, sys

@@ -16,6 +16,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# slow tier: ~30k hostile inputs incl. exhaustive byte sweeps + ASAN rerun
+pytestmark = pytest.mark.slow
+
 HARNESS = r"""
 import sys
 sys.path.insert(0, "/root/repo")

@@ -70,6 +70,7 @@ def test_param_specs_tensor_parallel(tiny_config):
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_learns(tiny_config, mesh_shape):
     data, model = mesh_shape
     mesh = make_mesh(data=data, model=model)
@@ -104,6 +105,7 @@ def test_sharded_train_step_runs_and_learns(tiny_config, mesh_shape):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_big_batch(tiny_config):
     """Two accumulated microbatches of 8 must produce the same optimizer
     updates as one batch of 16: SUM/division_factor loss semantics make
@@ -199,6 +201,7 @@ def test_grad_accum_matches_big_batch(tiny_config):
         )
 
 
+@pytest.mark.slow
 def test_frozen_subtree_stays_fixed(tiny_config):
     mesh = make_mesh(data=8, model=1)
     params0 = init_wav2vec2_for_ctc_params(jax.random.PRNGKey(0), tiny_config)
@@ -240,6 +243,7 @@ def test_stage2_lr_schedule():
     assert float(sched(1000)) == pytest.approx(5e-5)
 
 
+@pytest.mark.slow
 def test_train_step_flash_attention_matches_xla_under_tp(tiny_config):
     """Flash attention (shard_map-partitioned Pallas kernel, interpret mode)
     composes with the full tensor-parallel train step: the loss trajectory
@@ -292,6 +296,7 @@ def test_train_step_flash_attention_matches_xla_under_tp(tiny_config):
     np.testing.assert_allclose(flash_losses, xla_losses, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_robust_family_train_step():
     """The robust/large geometry (pre-norm, LayerNorm conv stack, conv
     biases, attention masks) through the full sharded train step — the

@@ -211,6 +211,7 @@ def test_pos_conv_blocked_bitwise_matches_unblocked():
     np.testing.assert_array_equal(np.asarray(whole_nb), np.asarray(blocked_nb))
 
 
+@pytest.mark.slow
 def test_pos_conv_blocked_train_grads_match_xla():
     """Gradients through the time-blocked driver (multi-tile, overlapping
     slice cotangents summing in XLA) vs jax.grad through the XLA conv."""

@@ -191,6 +191,7 @@ def test_gumbel_straight_through_gradients():
         )
 
 
+@pytest.mark.slow
 def test_pretrain_cli_end_to_end(tmp_path):
     """`cli.pretrain` subprocess on a synthetic corpus (8 virtual CPU
     devices): finite losses logged, Orbax checkpoint written, and the
@@ -287,6 +288,7 @@ def test_pretrain_cli_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(ema(np.zeros((1, 6000), np.float32)))).all()
 
 
+@pytest.mark.slow
 def test_pretrain_cli_tfrecords_and_resume_refusal(tmp_path):
     """Two regressions: (1) tfrecord input used to crash on the unknowable
     stream length (num_batches None * epochs); (2) --resume pointing at a
@@ -338,6 +340,7 @@ def test_pretrain_cli_tfrecords_and_resume_refusal(tmp_path):
     assert "refusing to silently restart" in result.stderr
 
 
+@pytest.mark.slow
 def test_pretrain_cli_sigterm_preemption(tmp_path):
     """SIGTERM during pretraining saves a step-granular checkpoint and
     exits cleanly; --resume picks it up mid-epoch and completes (the
@@ -426,6 +429,7 @@ def test_pretrain_cli_sigterm_preemption(tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "for_ctc"))
 
 
+@pytest.mark.slow
 def test_pretrain_step_on_mesh_matches_single_device():
     """The sharded pretrain step (4x2 data×model mesh over 8 virtual CPU
     devices) computes the same objective as the unsharded step.  The
@@ -500,6 +504,7 @@ def test_pretrain_step_on_mesh_matches_single_device():
     np.testing.assert_allclose(sharded["loss"], single["loss"], rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_pretrain_grad_accum_linearity_and_learning():
     """Gradient-accumulation correctness for pretraining.  Unlike the CTC
     path there is no big-batch bit-equality to pin against (Gumbel noise and
@@ -646,6 +651,7 @@ def test_scatter_rows_add_matches_xla_scatter():
     )
 
 
+@pytest.mark.slow
 def test_pretraining_loss_pallas_scatter_grad_matches_xla():
     """`pretraining_loss(pallas_scatter=True)` (interpret kernel) and the
     XLA scatter path must give the same loss AND the same gradients w.r.t.
@@ -688,6 +694,7 @@ def test_pretraining_loss_pallas_scatter_grad_matches_xla():
         )
 
 
+@pytest.mark.slow
 def test_pretraining_loss_pallas_scatter_mesh_matches_xla():
     """Under a multi-device mesh the Pallas scatter VJP runs per-shard via
     `shard_map` over the data axis (the scatter is independent per batch

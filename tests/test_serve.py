@@ -28,6 +28,9 @@ import pytest
 
 from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
 
+# slow tier: subprocess HTTP servers with bucket-warmup compiles
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
     filter_sizes=[32, 32], kernal_sizes=[10, 3], strides=[5, 2],

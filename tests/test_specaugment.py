@@ -122,6 +122,7 @@ def test_feature_masking_min_masks_zero_and_determinism():
     assert np.isfinite(out1).all()
 
 
+@pytest.mark.slow
 def test_forward_with_feature_masking_masks_and_backprops():
     """Training forward with mask_feature_prob > 0 runs, differs from the
     time-mask-only path, and gradients stay finite."""

@@ -110,6 +110,7 @@ def test_streaming_memory_is_bounded(evaluator):
     assert max_buf <= 2 * CHUNK + 2048
 
 
+@pytest.mark.slow
 def test_transcribe_cli_stream(tmp_path):
     """--stream: partial JSON lines then a final line equal to the offline
     transcript from the same CLI without --stream."""

@@ -178,6 +178,7 @@ def test_transcribe_long_segments_consistency(tiny):
         ev.predict_segments(short[None, :])[0]
 
 
+@pytest.mark.slow
 def test_transcribe_cli_timestamps(tmp_path):
     """`cli.transcribe --timestamps` emits a words array; --beam_width
     combination is rejected."""

@@ -13,6 +13,9 @@ import jax
 import numpy as np
 import pytest
 
+# slow tier: every test spawns fresh CLI subprocesses (fresh compiles)
+pytestmark = pytest.mark.slow
+
 from flac_encoder import encode_flac
 from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
 

@@ -29,6 +29,9 @@ import pytest
 from flac_encoder import encode_flac
 from gsoc_wav2vec2_tpu import Wav2Vec2Config, Wav2Vec2ForCTC
 
+# slow tier: full two-stage CLI overfit to WER 0 (minutes)
+pytestmark = pytest.mark.slow
+
 TEXTS = ["HELLO WORLD", "TINY MODEL", "TPU TRAINING", "FOUR SAMPLES"]
 AUDIO_LEN = 4000
 
