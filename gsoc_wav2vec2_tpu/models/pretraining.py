@@ -285,20 +285,44 @@ def pretraining_loss(
     code_ids: Optional[jax.Array] = None,
     pallas_scatter: Optional[bool] = None,
     mesh=None,
+    contrastive_impl: str = "auto",
 ) -> dict:
     """Contrastive + diversity objective (paper eq. 3-4; HF steps 3-8).
 
     All similarity math in float32.  Contrastive loss is the SUM over masked
     frames (HF `reduction="sum"`); callers divide by their own factor.
 
-    TPU-native formulation (measured sweep, v5e, B=8 L=768 K=100 D=256:
-    fwd 7.3->6.3 ms, fwd+bwd 19.7->17.2 isolated): keep HF's flat-index
-    row gather — contiguous D-vector copies are the one gather shape TPUs
-    do well (batched/vmapped gathers lower ~2x slower, lane-axis scalar
-    gathers worse still; a dense per-utterance Gram matmul loses to its
-    own extraction gather) — but skip HF's (K+1) concat, compute each norm
-    exactly once, test `neg_is_pos` on codeword ids instead of a 630 MB
-    vector-equality pass, and fold the positive in via `logaddexp`.
+    Two TPU-native formulations (`contrastive_impl`):
+
+    **"gram"** (round 5, the production path): per utterance the negative
+    similarities are entries of the (L, L) Gram matrix G = pred @ q^T
+    (2.4 GFLOP total at the recipe shape — MXU noise, `Precision.HIGHEST`
+    because the TPU's default f32 matmul runs bf16 passes), and
+    s[l, k] = G[l, idx[l, k]] / nn[l, k] = q_norm[idx[l, k]] are pulled
+    out by a fused compare-select-reduce over the lane axis — NO gather
+    op, NO (B, L, K, D) tensor (635 MB at the recipe shape), and the
+    backward comes out of autodiff as dG[l, j] = sum_k [idx==j] d_s —
+    a coefficient matrix flowing through two (L, L) @ (L, D) matmuls —
+    so the duplicate-index scatter-add VJP disappears entirely.  Measured
+    isolated on v5e (B=8, L=768, K=100, D=256): fwd+bwd 37.7 -> 27.5 ms
+    (parity: loss 6e-8 rel, grads <=3.3e-4 vs the gather path).  Every op
+    is a plain XLA op, so GSPMD partitions it under any mesh without
+    shard_map.  Requires `code_ids` (the `neg_is_pos` test by codeword
+    identity; the vector-equality fallback would need the gathered rows).
+
+    **"gather"** (rounds 3-4, kept for A/B and for callers without
+    code_ids): HF's flat-index row gather — contiguous D-vector copies
+    are the one gather shape TPUs do well (batched/vmapped gathers lower
+    ~2x slower, lane-axis scalar gathers worse still; a dense Gram matmul
+    loses to its own extraction *gather*, which is what the round-3
+    negative actually measured — the round-5 formulation replaces the
+    extraction gather with compare-select-reduce, reversing it) — but
+    skip HF's (K+1) concat, compute each norm exactly once, test
+    `neg_is_pos` on codeword ids instead of a 630 MB vector-equality
+    pass, and fold the positive in via `logaddexp`.
+
+    `contrastive_impl="auto"` resolves to "gram" when `code_ids` is given
+    and `pallas_scatter` was not explicitly requested, else "gather".
 
     `code_ids` ((B, L, G) quantizer codeword ids, from
     `wav2vec2_for_pretraining_forward(..., return_code_ids=True)`) enables
@@ -326,6 +350,40 @@ def pretraining_loss(
     pred = projected_states.astype(jnp.float32)
     q = projected_quantized.astype(jnp.float32)
     flat_idx = sampled_negative_indices.reshape(-1)
+
+    if contrastive_impl == "auto":
+        contrastive_impl = (
+            "gram"
+            if code_ids is not None and pallas_scatter is None
+            else "gather"
+        )
+    if contrastive_impl not in ("gram", "gather"):
+        raise ValueError(f"unknown contrastive_impl {contrastive_impl!r}")
+    if contrastive_impl == "gram" and code_ids is None:
+        raise ValueError(
+            "contrastive_impl='gram' requires code_ids (neg_is_pos by "
+            "codeword identity); pass code_ids or use 'gather'"
+        )
+
+    # torch.cosine_similarity clamps each norm at eps=1e-8
+    pred_norm = jnp.maximum(jnp.linalg.norm(pred, axis=-1), 1e-8)  # (B, L)
+    q_norm = jnp.maximum(jnp.linalg.norm(q, axis=-1), 1e-8)  # (B, L)
+    inv_temp = 1.0 / config.contrastive_logits_temperature
+    logit_pos = (
+        jnp.sum(pred * q, axis=-1) / (pred_norm * q_norm)
+    ) * inv_temp  # (B, L)
+
+    if contrastive_impl == "gram":
+        logit_neg = _gram_negative_logits(
+            pred, q, q_norm, pred_norm, sampled_negative_indices, inv_temp
+        )
+        g = code_ids.shape[-1]
+        ids_neg = code_ids.reshape(b * l, g)[flat_idx].reshape(b, l, k, g)
+        neg_is_pos = jnp.all(ids_neg == code_ids[:, :, None, :], axis=-1)
+        logit_neg = jnp.where(neg_is_pos, -jnp.inf, logit_neg)
+        return _loss_tail(
+            logit_pos, logit_neg, mask_time_indices, perplexity, config
+        )
 
     from ..ops.pallas import scatter_add as _sa
     from ..parallel.mesh import DATA_AXIS
@@ -392,19 +450,13 @@ def pretraining_loss(
     # K axis stays minor here and the reductions below run over it.
     negatives = _gather_rows(q.reshape(b * l, d)).reshape(b, l, k, d)
 
-    # torch.cosine_similarity clamps each norm at eps=1e-8
-    pred_norm = jnp.maximum(jnp.linalg.norm(pred, axis=-1), 1e-8)  # (B, L)
-    q_norm = jnp.maximum(jnp.linalg.norm(q, axis=-1), 1e-8)  # (B, L)
     # NOTE: the negatives are rows of q, so their norms are rows of q_norm —
     # but gathering the norm TABLE instead of re-reducing the (B, L, K, D)
     # tensor is a measured LOSS (89.8 -> 97.9 ms full step on v5e): 614k
     # scalar gathers + their scatter VJP cost more than the vector-fused
-    # norm reduction they save (see COMPONENTS.md gather hierarchy).
+    # norm reduction they save (see COMPONENTS.md gather hierarchy; the
+    # "gram" path avoids the table *gather* with compare-select-reduce).
     neg_norm = jnp.maximum(jnp.linalg.norm(negatives, axis=-1), 1e-8)
-    inv_temp = 1.0 / config.contrastive_logits_temperature
-    logit_pos = (
-        jnp.sum(pred * q, axis=-1) / (pred_norm * q_norm)
-    ) * inv_temp  # (B, L)
     logit_neg = (
         jnp.sum(pred[:, :, None, :] * negatives, axis=-1)
         / (pred_norm[:, :, None] * neg_norm)
@@ -420,7 +472,46 @@ def pretraining_loss(
     else:
         neg_is_pos = jnp.all(q[:, :, None, :] == negatives, axis=-1)
     logit_neg = jnp.where(neg_is_pos, -jnp.inf, logit_neg)
+    return _loss_tail(
+        logit_pos, logit_neg, mask_time_indices, perplexity, config
+    )
 
+
+def _gram_negative_logits(
+    pred, q, q_norm, pred_norm, sampled_negative_indices, inv_temp
+):
+    """(B, L, K) negative cosine logits via the per-utterance Gram matrix.
+
+    s[l, k] = G[l, idx[l, k]] with G = pred @ q^T, and
+    nn[l, k] = q_norm[idx[l, k]], both extracted by one fused
+    compare-select-reduce over the lane axis (exact selection, no gather
+    op).  Autodiff turns the extraction's backward into
+    dG[l, j] = sum_k [idx[l,k] == j] * d_s[l, k] — the duplicate-index
+    accumulation happens inside a dense (L, L) cotangent, and d_pred /
+    d_q are the Gram matmul's own VJP: two (L, L) @ (L, D) matmuls.  No
+    scatter, no (B, L, K, D) tensor, fully GSPMD-partitionable.
+    """
+    b, l, _ = q.shape
+    # negatives are drawn within the same utterance, so indices are
+    # row-local (sample_negative_indices returns flat b*l ids)
+    local = sampled_negative_indices - (jnp.arange(b) * l)[:, None, None]
+    # HIGHEST: the TPU's default f32 matmul runs bf16 passes — the Gram
+    # feeds exp() through a 1/temperature=10x amplifier, and HF-oracle
+    # parity (2e-4) needs true f32 (measured: default precision costs
+    # 2e-3 grad error; HIGHEST is 6e-8 loss / 1.2e-7 grad vs gather)
+    gram = jnp.einsum(
+        "bld,bmd->blm", pred, q, precision=jax.lax.Precision.HIGHEST
+    )  # (B, L, L) f32
+    iota = jnp.arange(l, dtype=local.dtype)
+    eq = local[..., None] == iota  # (B, L, K, L), fused into the reduces
+    s = jnp.sum(jnp.where(eq, gram[:, :, None, :], 0.0), axis=-1)
+    nn = jnp.sum(jnp.where(eq, q_norm[:, None, None, :], 0.0), axis=-1)
+    nn = jnp.maximum(nn, 1e-8)
+    return (s / (pred_norm[:, :, None] * nn)) * inv_temp
+
+
+def _loss_tail(logit_pos, logit_neg, mask_time_indices, perplexity, config):
+    """Shared contrastive/diversity reduction (HF steps 7-8)."""
     mask = mask_time_indices.astype(jnp.float32)  # (B, L)
     # logsumexp over {positive} ∪ negatives; all-(-inf) negative rows are
     # fine (logaddexp(-inf, x) == x -> zero contribution)
@@ -482,8 +573,9 @@ def _make_pretrain_loss_fn(
         parts = pretraining_loss(
             states, quantized, perplexity, mti, negs, config,
             code_ids=code_ids,
-            # auto: Pallas scatter VJP on TPU; under a multi-device mesh
-            # it runs per-shard via shard_map over the data axis
+            # auto resolves to the "gram" formulation (code_ids present):
+            # Gram-matrix similarities, no gather/scatter, plain XLA ops
+            # that GSPMD partitions under any mesh
             mesh=mesh,
         )
         return parts["loss"] / division_factor, parts

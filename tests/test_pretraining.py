@@ -114,11 +114,25 @@ def test_pretraining_forward_and_loss_match_hf_oracle(robust):
     )
     parts_ids = pretraining_loss(
         states, quantized, perplexity, jnp.asarray(mask), jnp.asarray(negs),
-        config, code_ids=code_ids,
+        config, code_ids=code_ids, contrastive_impl="gather",
     )
     np.testing.assert_array_equal(
         np.asarray(parts_ids["contrastive_loss"]),
         np.asarray(parts["contrastive_loss"]),
+    )
+
+    # the production "gram" formulation (auto with code_ids) against the
+    # HF oracle directly — same tolerance as the gather path
+    parts_gram = pretraining_loss(
+        states, quantized, perplexity, jnp.asarray(mask), jnp.asarray(negs),
+        config, code_ids=code_ids,
+    )
+    np.testing.assert_allclose(
+        float(parts_gram["contrastive_loss"]), float(out.contrastive_loss),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        float(parts_gram["loss"]), float(out.loss), rtol=2e-4
     )
 
 
@@ -788,4 +802,122 @@ def test_pretraining_loss_explicit_pallas_scatter_mesh_guards():
         pretraining_loss(
             states, quantized, perp, mti, negs, config,
             pallas_scatter=True, mesh=modelonly,
+        )
+
+
+def test_gram_formulation_matches_gather():
+    """The round-5 "gram" contrastive formulation (Gram-matrix similarities
+    + compare-select-reduce extraction, no gather/scatter) must match the
+    gather formulation on loss AND input gradients; `auto` must pick gram
+    exactly when code_ids are present and pallas_scatter was not forced."""
+    from gsoc_wav2vec2_tpu.models.pretraining import (
+        pretraining_loss,
+        sample_negative_indices,
+    )
+
+    config = tiny_pretraining_config()
+    b, l, d = 2, 48, config.proj_codevector_dim
+    rng = jax.random.PRNGKey(21)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    states = jax.random.normal(k1, (b, l, d), jnp.float32)
+    quantized = jax.random.normal(k2, (b, l, d), jnp.float32)
+    mti = jax.random.bernoulli(k3, 0.5, (b, l))
+    negs = sample_negative_indices(k4, mti, config.num_negatives)
+    # tiny codebook -> real id collisions, exercising the -inf masking
+    code_ids = jax.random.randint(
+        k5, (b, l, config.num_codevector_groups), 0,
+        config.num_codevectors_per_group,
+    )
+    perp = jnp.float32(5.0)
+
+    def loss(states, quantized, impl):
+        return pretraining_loss(
+            states, quantized, perp, mti, negs, config,
+            code_ids=code_ids, contrastive_impl=impl,
+        )["loss"]
+
+    l_gather = jax.jit(loss, static_argnums=2)(states, quantized, "gather")
+    l_gram = jax.jit(loss, static_argnums=2)(states, quantized, "gram")
+    l_auto = jax.jit(loss, static_argnums=2)(states, quantized, "auto")
+    np.testing.assert_allclose(float(l_gram), float(l_gather), rtol=1e-5)
+    # auto == gram bitwise (same program)
+    np.testing.assert_array_equal(np.asarray(l_auto), np.asarray(l_gram))
+
+    gg = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)(
+        states, quantized, "gram"
+    )
+    gx = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)(
+        states, quantized, "gather"
+    )
+    for a, w, name in zip(gg, gx, ("states", "quantized")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=1e-4, atol=1e-5,
+            err_msg=name,
+        )
+
+    # gram demands code_ids (vector-equality fallback needs gathered rows)
+    with pytest.raises(ValueError, match="requires code_ids"):
+        pretraining_loss(
+            states, quantized, perp, mti, negs, config,
+            contrastive_impl="gram",
+        )
+    # auto without code_ids falls back to gather (bitwise)
+    l_auto_nocid = pretraining_loss(
+        states, quantized, perp, mti, negs, config
+    )["loss"]
+    l_gather_nocid = pretraining_loss(
+        states, quantized, perp, mti, negs, config,
+        contrastive_impl="gather",
+    )["loss"]
+    np.testing.assert_array_equal(
+        np.asarray(l_auto_nocid), np.asarray(l_gather_nocid)
+    )
+
+
+def test_gram_formulation_partitions_under_mesh():
+    """The gram path is plain XLA ops — GSPMD must partition it under a
+    data x model mesh with batch-sharded inputs, matching single-device
+    results (no shard_map, no custom calls)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gsoc_wav2vec2_tpu.models.pretraining import (
+        pretraining_loss,
+        sample_negative_indices,
+    )
+    from gsoc_wav2vec2_tpu.parallel import make_mesh
+
+    config = tiny_pretraining_config()
+    b, l, d = 4, 32, config.proj_codevector_dim
+    rng = jax.random.PRNGKey(31)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    states = jax.random.normal(k1, (b, l, d), jnp.float32)
+    quantized = jax.random.normal(k2, (b, l, d), jnp.float32)
+    mti = jax.random.bernoulli(k3, 0.5, (b, l))
+    negs = sample_negative_indices(k4, mti, config.num_negatives)
+    code_ids = jax.random.randint(
+        k5, (b, l, config.num_codevector_groups), 0,
+        config.num_codevectors_per_group,
+    )
+    perp = jnp.float32(5.0)
+
+    def grads(states, quantized, mesh):
+        def loss(s, q):
+            return pretraining_loss(
+                s, q, perp, mti, negs, config,
+                code_ids=code_ids, contrastive_impl="gram", mesh=mesh,
+            )["loss"]
+
+        return jax.grad(loss, argnums=(0, 1))(states, quantized)
+
+    ref = jax.jit(lambda s, q: grads(s, q, None))(states, quantized)
+
+    mesh = make_mesh(model=2)  # data=4 x model=2
+    shard = NamedSharding(mesh, P("data"))
+    s_sh = jax.device_put(states, shard)
+    q_sh = jax.device_put(quantized, shard)
+    got = jax.jit(lambda s, q: grads(s, q, mesh))(s_sh, q_sh)
+    for a, w, name in zip(got, ref, ("states", "quantized")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=1e-5, atol=1e-6,
+            err_msg=f"mesh gram vs single: {name}",
         )
