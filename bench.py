@@ -41,9 +41,13 @@ AUDIO_LEN = 246000  # 15.375 s at 16 kHz
 SAMPLE_RATE = 16000
 WARMUP = 3
 ITERS = 15
-# the ITERS iterations run as RTF_TRIALS independently-timed trials (each
-# with its own device->host readback) so the headline carries dispersion
-# stats and a regression check instead of a bare point estimate
+# the headline runs RTF_TRIALS independently-timed trials so it carries
+# dispersion stats and a regression check instead of a bare point estimate.
+# EVERY trial chains the full ITERS forwards behind ONE device->host
+# readback — the round-1..4 protocol.  Splitting ITERS ACROSS trials
+# (first round-5 capture) charged each trial a whole tunnel RTT over only
+# 3 steps: measured 5885 vs 7014, a pure artifact (3*35.1ms + ~20ms RTT
+# = 125ms/trial -> "RTF 5890"), which tripped the regression check.
 RTF_TRIALS = 5
 REGRESSION_PCT = 3.0  # headline drop vs the previous BENCH_r*.json that yells
 BASELINE_RTF = 3.125 / 0.84  # reference ONNX export, final_report.md:62-67
@@ -247,7 +251,7 @@ def _bench_inference(config, params):
     for _ in range(WARMUP):
         float(fwd(params, speech))
 
-    iters_per_trial = max(1, ITERS // RTF_TRIALS)
+    iters_per_trial = ITERS  # full chain per trial: one readback per ITERS
     audio_sec_per_trial = iters_per_trial * BATCH * AUDIO_LEN / SAMPLE_RATE
     trials = []
     for _ in range(RTF_TRIALS):
@@ -697,6 +701,15 @@ def main() -> int:
     if not _wait_for_backend():
         return 1
 
+    # Persistent compile cache: steady-state timings are unaffected (only
+    # compiles replay), but repeated captures — and the serve child's
+    # bucket warmup — stop paying minutes of XLA per run.  On the slowest
+    # observed tunnel days compiles run ~3x slow and the serve warmup alone
+    # neared its 900 s startup timeout (round-5 capture).
+    from gsoc_wav2vec2_tpu.utils.devices import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from gsoc_wav2vec2_tpu import Wav2Vec2Config
     from gsoc_wav2vec2_tpu.models.modeling import init_wav2vec2_for_ctc_params
 
@@ -790,6 +803,11 @@ if __name__ == "__main__":
         if sys.argv[2] != "tail":
             print(f"unknown section {sys.argv[2]!r}", file=sys.stderr)
             sys.exit(2)
+        from gsoc_wav2vec2_tpu.utils.devices import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
         _tail_sections()
         sys.exit(0)
     sys.exit(main())

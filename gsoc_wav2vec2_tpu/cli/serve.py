@@ -616,6 +616,12 @@ def main() -> None:
 
         lm = CharNGramLM.load(args.lm_path)
 
+    # A rolling/restarted daemon replays the bucket warmup compiles from
+    # the persistent cache instead of paying minutes of XLA each time.
+    from ..utils.devices import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     model = Wav2Vec2ForCTC.from_pretrained(args.model_dir)
     mesh = None
     if args.sharded:

@@ -119,13 +119,32 @@ class GreedyCTCEvaluator:
         token_bonus: float = 0.0,
     ):
         self.config = config
-        self.params = params
         self.compute_dtype = compute_dtype
         self.tokenizer = Wav2Vec2Processor(is_tokenizer=True)
         self.use_attention_mask = (
             config.is_robust if use_attention_mask is None else use_attention_mask
         )
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        # Park the weights on device ONCE.  `jax.jit` copies numpy inputs
+        # host->device on EVERY call, so host-resident params re-upload the
+        # whole model per dispatch (~360 MB for base-95M) — invisible over
+        # PCIe, but ~16 s per request over a tunneled chip (measured: the
+        # serving daemon's per-request latency was flat ~16 s regardless
+        # of payload size until this device_put; see COMPONENTS.md
+        # §Serving).  Multi-process pods keep host params: every process
+        # would need the same global replicated array, and pjit's per-call
+        # transfer is correct there (pod serving feeds ~one batch per step,
+        # not a latency-critical request loop).
+        if jax.process_count() == 1:
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                params = jax.device_put(
+                    params, NamedSharding(self.mesh, PartitionSpec())
+                )
+            else:
+                params = jax.device_put(params)
+        self.params = params
         # beam_width > 0: CTC prefix beam search over the summed alignment
         # mass instead of greedy argmax (`decoding.py` — an upgrade over
         # the reference's greedy-only decode, `processor.py:71-89`);
