@@ -326,3 +326,38 @@ def test_evaluate_cli_sharded_matches_unsharded(tmp_path):
     sharded = run(["--sharded"])
     assert plain["num_samples"] == sharded["num_samples"] == 5
     assert plain["wer"] == sharded["wer"]
+
+
+def test_evaluator_parks_params_on_device(tiny_model):
+    """The evaluator must `device_put` params ONCE at construction:
+    `jax.jit` copies numpy inputs host->device on EVERY call, so
+    host-resident params re-upload the whole model per dispatch (~360 MB
+    for base-95M — measured ~16 s per serving request over a tunneled
+    chip, flat across payload sizes, before this fix; COMPONENTS.md
+    §Round-5 SERVING).  Predictions must be unchanged."""
+    from gsoc_wav2vec2_tpu.parallel import make_mesh
+
+    config, params = tiny_model
+    # pass host numpy params explicitly — the constructor must devicize
+    host_params = jax.tree.map(np.asarray, params)
+    ev = GreedyCTCEvaluator(config, host_params, compute_dtype=jnp.float32)
+    leaves = jax.tree.leaves(ev.params)
+    assert leaves and all(isinstance(x, jax.Array) for x in leaves)
+
+    mesh = make_mesh(model=1)
+    sharded = GreedyCTCEvaluator(
+        config, host_params, compute_dtype=jnp.float32, mesh=mesh
+    )
+    for x in jax.tree.leaves(sharded.params):
+        assert isinstance(x, jax.Array)
+        # replicated over the mesh: every device holds the full leaf
+        assert x.sharding.is_fully_replicated
+
+    speech = np.random.default_rng(0).standard_normal((3, 1600)).astype(
+        np.float32
+    )
+    want = GreedyCTCEvaluator(
+        config, params, compute_dtype=jnp.float32
+    ).predict_batch(speech)
+    assert ev.predict_batch(speech) == want
+    assert sharded.predict_batch(speech) == want
