@@ -1,11 +1,14 @@
 """CLI: export a checkpoint for serving.
 
 Equivalent of the reference's `src/export2hub.py` (fixed-seqlen SavedModel
-for TFHub), with the same flags.  Two formats:
+for TFHub), with the same flags.  Three formats:
   * `--format stablehlo` (default): portable `jax.export` artifact with a
     symbolic batch dimension (`export/stablehlo.py`);
   * `--format saved_model`: a literal TF SavedModel via jax2tf
-    (`export/savedmodel.py`) — what the reference published to TFHub.
+    (`export/savedmodel.py`) — what the reference published to TFHub;
+  * `--format onnx`: a literal `.onnx` ModelProto built op-by-op and
+    serialized by the from-scratch protobuf codec (`export/onnx_export.py`)
+    — the `notebooks/wav2vec2_onnx.ipynb` artifact, float32 semantics.
 
 Usage:
     python -m gsoc_wav2vec2_tpu.cli.export \
@@ -31,14 +34,24 @@ def main() -> None:
                         default=True)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--format", type=str, default="stablehlo",
-                        choices=["stablehlo", "saved_model"])
+                        choices=["stablehlo", "saved_model", "onnx"])
     args = parser.parse_args()
 
     cls = Wav2Vec2ForCTC if args.with_lm_head else Wav2Vec2Model
     model = cls.from_pretrained(args.model_id)
     import jax.numpy as jnp
 
-    if args.format == "saved_model":
+    if args.format == "onnx":
+        from ..export.onnx_export import export_onnx
+
+        path = export_onnx(
+            model.config,
+            model.params,
+            args.saved_model_dir,
+            seqlen=args.seqlen,
+            with_lm_head=args.with_lm_head,
+        )
+    elif args.format == "saved_model":
         from ..export.savedmodel import export_saved_model
 
         path = export_saved_model(
